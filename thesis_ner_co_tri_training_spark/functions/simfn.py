@@ -1,0 +1,150 @@
+"""Scalar functions of the selection algebra, JVM-side.
+
+Pure-Python oracles (used by tests) and Spark Column builders for:
+
+  - bag-of-tags cosine similarity  (reference utils.py:51-70):
+    Counter both tag lists, cosine of the count vectors, zero denominator
+    -> 0, round 4.
+  - average confidence ignoring 'O' (utils.py:72-88): empty -> 0, round 4.
+  - OntoNotes -> ISW tag rename    (co_training.py:203-217): ordered regex
+    alternation; chain order preserved (PERSON before PERCENT).
+
+The Spark builders are pure built-in expressions (higher-order array
+functions) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Ordered exactly as the reference dict (co_training.py:205-214). Alternation
+# is leftmost-alternative-first in Python re; a sequential replace chain is
+# equivalent for this key set (no produced value re-matches a later key).
+TAG_RENAME = [
+    ("EVENT", "EVT"),
+    ("LANGUAGE", "LAN"),
+    ("MONEY", "MON"),
+    ("NORP", "NRP"),
+    ("PERSON", "PER"),
+    ("PERCENT", "PERC"),
+    ("QUANTITY", "QUAN"),
+    ("WORK_OF_ART", "ART"),
+]
+
+
+# ----------------------------- pure-Python oracles -----------------------
+
+def cosine_similarity(a_tags: list[str], b_tags: list[str]) -> float:
+    """Reference utils.py:51-70 verbatim semantics."""
+    a_vals = Counter(a_tags)
+    b_vals = Counter(b_tags)
+    words = list(a_vals.keys() | b_vals.keys())
+    a_vect = [a_vals.get(w, 0) for w in words]
+    b_vect = [b_vals.get(w, 0) for w in words]
+    len_a = sum(v * v for v in a_vect) ** 0.5
+    len_b = sum(v * v for v in b_vect) ** 0.5
+    dot = sum(x * y for x, y in zip(a_vect, b_vect))
+    try:
+        cos = dot / (len_a * len_b)
+    except ZeroDivisionError:
+        cos = 0
+    return round(cos, 4)
+
+
+def avg_confident_score(preds: list[dict], ignore_o: bool = True) -> float:
+    """Reference utils.py:72-88 verbatim semantics."""
+    if ignore_o:
+        scores = [d["confidence"] for d in preds if d["tag"] != "O"]
+    else:
+        scores = [d["confidence"] for d in preds]
+    try:
+        avg = sum(scores) / len(scores)
+    except ZeroDivisionError:
+        avg = 0
+    return round(avg, 4)
+
+
+def rename_tags(text: str) -> str:
+    """Oracle for the ordered rename chain."""
+    import re
+
+    regex = re.compile("(%s)" % "|".join(re.escape(k) for k, _ in TAG_RENAME))
+    table = dict(TAG_RENAME)
+    return regex.sub(lambda mo: table[mo.group(0)], text)
+
+
+# ----------------------------- Spark Column builders ---------------------
+
+def non_o(tags: Column | str) -> Column:
+    """P2: project away 'O' tags (utils.py:79-80)."""
+    return F.filter(tags, lambda t: t != F.lit("O"))
+
+
+def tag_counts(tags: Column | str) -> Column:
+    """A2: bag-of-tags count map via aggregate (no shuffle, per-row)."""
+    col = F.col(tags) if isinstance(tags, str) else tags
+    return F.aggregate(
+        col,
+        F.create_map().cast("map<string,int>"),
+        lambda acc, t: F.map_zip_with(
+            acc,
+            F.create_map(t, F.lit(1)),
+            lambda _k, v1, v2: F.coalesce(v1, F.lit(0)) + F.coalesce(v2, F.lit(0)),
+        ),
+    )
+
+
+def cosine_tags(a_tags: Column | str, b_tags: Column | str) -> Column:
+    """F6: bag-of-tags cosine as a single JVM-side expression.
+
+    dot = sum over shared keys of ca*cb; norms from each count map;
+    0/0 -> 0; round 4. Matches cosine_similarity() bit-for-bit on int
+    counts (all arithmetic exact until the final division).
+    """
+    ca = tag_counts(a_tags)
+    cb = tag_counts(b_tags)
+    dot = F.aggregate(
+        F.map_entries(F.map_zip_with(
+            ca, cb,
+            lambda _k, v1, v2: F.coalesce(v1, F.lit(0)) * F.coalesce(v2, F.lit(0)),
+        )),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + e["value"],
+    )
+    def _norm(cm: Column) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                F.map_entries(cm),
+                F.lit(0).cast("long"),
+                lambda acc, e: acc + e["value"] * e["value"],
+            ).cast("double")
+        )
+    na, nb = _norm(ca), _norm(cb)
+    return F.when(
+        (na == F.lit(0.0)) | (nb == F.lit(0.0)), F.lit(0.0)
+    ).otherwise(F.round(dot / (na * nb), 4))
+
+
+def avg_cfd(preds: Column | str, ignore_o: bool = True) -> Column:
+    """A1: avg confidence over array<struct<word,tag,confidence>>.
+
+    ignore-O, empty -> 0.0, round 4 (utils.py:72-88).
+    """
+    col = F.col(preds) if isinstance(preds, str) else preds
+    kept = F.filter(col, lambda p: p["tag"] != F.lit("O")) if ignore_o else col
+    total = F.aggregate(
+        kept, F.lit(0.0), lambda acc, p: acc + p["confidence"]
+    )
+    n = F.size(kept)
+    return F.when(n == 0, F.lit(0.0)).otherwise(F.round(total / n, 4))
+
+
+def rename_tags_col(col: Column | str) -> Column:
+    """F5: ordered regexp_replace chain (dict order, co_training.py:205-217)."""
+    out = F.col(col) if isinstance(col, str) else col
+    for k, v in TAG_RENAME:
+        out = F.regexp_replace(out, k, v)
+    return out

@@ -1,0 +1,169 @@
+"""Tri-view agreement voting -> voted mentions table.
+
+The reference's tri-training pseudo-label selection (tri_train.py:141-219)
+re-expressed as one declarative DataFrame stage:
+
+  role rotation  [(1,2|3), (2,3|1), (1,3|2)]      tri_train.py:148
+  C1 teachable   cos(t1,t2) > cos_thr
+                 AND min(t1_cfd,t2_cfd) > tcfd
+                 AND s_cfd < scfd                  tri_train.py:44-60
+  C2 arbitration t1==t2 -> t1 else higher-cfd      tri_train.py:213-219
+
+A sentence's voted labels come from the FIRST rotation that passes the
+gate (the reference processes rotations in list order and a sentence can
+only be consumed once per pool); sentences where all three views agree
+exactly pass as 'unanimous' (cos == 1.0 for every pair — the degenerate
+always-agreeing case). Everything here is built-in expressions — zero
+Python in the plan; span extraction is a single JVM-side aggregate() fold
+per row (no shuffle, no window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.simfn import avg_cfd, cosine_tags
+
+_SPAN_STRUCT = "array<struct<beg:int,end:int,tag:string,conf:double>>"
+
+
+def _close(acc: str = "acc") -> str:
+    return (
+        f"CASE WHEN {acc}.n > 0 THEN array_append({acc}.spans, named_struct("
+        f"'beg', {acc}.beg, 'end', {acc}.beg + {acc}.n, 'tag', {acc}.tag, "
+        f"'conf', round({acc}.csum / {acc}.n, 4))) ELSE {acc}.spans END"
+    )
+
+
+def spans_expr(tags_col: str, confs_col: str) -> Column:
+    """BIO tag array -> array<struct<beg,end,tag,conf>> via aggregate fold.
+
+    Lenient scheme: I-X continues an open X span; I-X after O / other tag
+    opens a new span (seqeval 'default' behavior). conf = round-4 mean of
+    member token confidences (utils.py round-4 convention).
+    """
+    items = (
+        f"transform(sequence(0, size({tags_col}) - 1), i -> named_struct("
+        f"'i', i, 'tg', element_at({tags_col}, i + 1), "
+        f"'cf', element_at({confs_col}, i + 1)))"
+    )
+    zero = (
+        f"named_struct('spans', cast(array() as {_SPAN_STRUCT}), "
+        "'beg', -1, 'tag', '', 'csum', cast(0.0 as double), 'n', 0)"
+    )
+    step = f"""(acc, x) -> CASE
+        WHEN x.tg = 'O' THEN named_struct(
+            'spans', {_close()}, 'beg', -1, 'tag', '',
+            'csum', cast(0.0 as double), 'n', 0)
+        WHEN x.tg LIKE 'I-%' AND acc.n > 0 AND substring(x.tg, 3) = acc.tag
+        THEN named_struct('spans', acc.spans, 'beg', acc.beg, 'tag', acc.tag,
+            'csum', acc.csum + x.cf, 'n', acc.n + 1)
+        ELSE named_struct('spans', {_close()}, 'beg', x.i,
+            'tag', substring(x.tg, 3), 'csum', x.cf, 'n', 1)
+    END"""
+    return F.expr(
+        f"aggregate({items}, {zero}, {step}, acc -> {_close()})"
+    )
+
+
+def vote_mentions(
+    sent_views: DataFrame,
+    cos_threshold: float = 0.7,
+    tcfd_threshold: float = 0.7,
+    scfd_threshold: float = 0.6,
+) -> DataFrame:
+    """(url, sent_id, tokens, v1/v2/v3_preds) -> voted sentence labels.
+
+    Output: url, sent_id, tokens, tags, confs, selection_rule, cos_score.
+    Non-teachable, non-unanimous sentences are filtered out (low-confidence
+    mention filtering — the engine's whole point).
+    """
+    df = sent_views
+    for v in (1, 2, 3):
+        p = f"v{v}_preds"
+        df = (
+            df.withColumn(f"t{v}_tags", F.transform(F.col(p), lambda x: x["tag"]))
+            .withColumn(f"t{v}_confs", F.transform(F.col(p), lambda x: x["confidence"]))
+            .withColumn(f"t{v}_cfd", avg_cfd(p))
+        )
+
+    rotations = [(1, 2, 3), (2, 3, 1), (1, 3, 2)]  # tri_train.py:148
+    gates, arb_tags, arb_confs, coses = [], [], [], []
+    for (a, b, s) in rotations:
+        ta, tb = F.col(f"t{a}_tags"), F.col(f"t{b}_tags")
+        ca, cb = F.col(f"t{a}_cfd"), F.col(f"t{b}_cfd")
+        cos = cosine_tags(ta, tb)  # FULL lists incl. O (tri_train.py:51-54)
+        gate = (
+            (cos > cos_threshold)
+            & (F.least(ca, cb) > tcfd_threshold)
+            & (F.col(f"t{s}_cfd") < scfd_threshold)
+        )
+        tags = F.when(ta == tb, ta).when(ca > cb, ta).otherwise(tb)
+        confs = (
+            F.when(ta == tb, F.col(f"t{a}_confs"))
+            .when(ca > cb, F.col(f"t{a}_confs"))
+            .otherwise(F.col(f"t{b}_confs"))
+        )
+        gates.append(gate)
+        arb_tags.append(tags)
+        arb_confs.append(confs)
+        coses.append(cos)
+
+    unanimous = (F.col("t1_tags") == F.col("t2_tags")) & (
+        F.col("t2_tags") == F.col("t3_tags")
+    )
+    rule = (
+        F.when(gates[0], F.lit("rot_12_3"))
+        .when(gates[1], F.lit("rot_23_1"))
+        .when(gates[2], F.lit("rot_13_2"))
+        .when(unanimous, F.lit("unanimous"))
+    )
+    tags = (
+        F.when(gates[0], arb_tags[0])
+        .when(gates[1], arb_tags[1])
+        .when(gates[2], arb_tags[2])
+        .when(unanimous, F.col("t1_tags"))
+    )
+    confs = (
+        F.when(gates[0], arb_confs[0])
+        .when(gates[1], arb_confs[1])
+        .when(gates[2], arb_confs[2])
+        .when(unanimous, F.col("t1_confs"))
+    )
+    cos_score = (
+        F.when(gates[0], coses[0])
+        .when(gates[1], coses[1])
+        .when(gates[2], coses[2])
+        .when(unanimous, F.lit(1.0))
+    )
+    return (
+        df.withColumn("selection_rule", rule)
+        .withColumn("tags", tags)
+        .withColumn("confs", confs)
+        .withColumn("cos_score", cos_score)
+        .filter(F.col("selection_rule").isNotNull())
+        .select("url", "sent_id", "tokens", "tags", "confs",
+                "selection_rule", "cos_score")
+    )
+
+
+def mentions_table(voted: DataFrame) -> DataFrame:
+    """Voted sentence labels -> long-form mentions table.
+
+    url, sent_id, beg, end, surface, tag, confidence — FIXTURES.md §4 shape.
+    """
+    spans = voted.withColumn("span", F.explode(spans_expr("tags", "confs")))
+    return spans.select(
+        "url",
+        "sent_id",
+        F.col("span.beg").alias("beg"),
+        F.col("span.end").alias("end"),
+        F.concat_ws(
+            " ",
+            F.slice(F.col("tokens"), F.col("span.beg") + 1,
+                    F.col("span.end") - F.col("span.beg")),
+        ).alias("surface"),
+        F.col("span.tag").alias("tag"),
+        F.col("span.conf").alias("confidence"),
+    )

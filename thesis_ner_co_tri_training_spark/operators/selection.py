@@ -1,0 +1,155 @@
+"""Pool / top-k / agreement selection algebra (co- & tri-training core).
+
+Reference semantics re-expressed data-parallel:
+
+  W2  pool partition   co_training.py:84-89   sequential chunks of a seeded
+                                              shuffle -> pool_id column; the
+                                              k-iteration driver loop becomes
+                                              ONE Spark job because pools are
+                                              disjoint and selection is
+                                              independent per pool.
+  W1  top-n per pool   co_training.py:102-103 row_number window, tie-broken
+                                              by shuffled position (Python's
+                                              sorted is stable on the
+                                              shuffled order).
+  J1  agreement join   co_training.py:234-250 inner equi-join on sent_id.
+  C4  agreement gate   co_training.py:263-273 cosine(bagA, bagB) > thr.
+  C1  teachable        tri_train.py:44-60     cos > thr AND min(t1,t2) > tcfd
+                                              AND student < scfd.
+  C2  arbitration      tri_train.py:213-219   t1==t2 -> t1; else higher-cfd.
+
+Scale notes: pool assignment is one narrow projection after a seeded
+orderBy(rand) (a single range-shuffle); top-n is a window over pool_id —
+pools are uniform by construction so no skew; the agreement join keys are
+unique per side (top-n output), so AQE's broadcast conversion handles the
+small-side case automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.simfn import avg_cfd, cosine_tags, rename_tags_col
+
+
+def shuffled_with_position(df: DataFrame, seed: int = 42, id_col: str = "sent_id") -> DataFrame:
+    """R3: seeded uniform shuffle, carrying the post-shuffle position.
+
+    The position is the tie-breaker for exact top-n parity (Python's sorted
+    is stable on the shuffled list order, co_training.py:102).
+    """
+    w = Window.orderBy(F.rand(seed), id_col)
+    return df.withColumn("pos", F.row_number().over(w))
+
+
+def assign_pools(df: DataFrame, u: int, k: int | None = None,
+                 pos_col: str = "pos") -> DataFrame:
+    """W2: pools of size u carved off the shuffled corpus; keep first k pools.
+
+    Reference consumes U from the back in chunks of u, k times
+    (co_training.py:84-89). Chunk identity = floor((pos-1)/u); consuming
+    from the back vs front only permutes pool ids, and selection is
+    per-pool, so the union of selected rows is identical.
+    """
+    out = df.withColumn("pool_id", F.floor((F.col(pos_col) - 1) / u))
+    if k is not None:
+        out = out.filter(F.col("pool_id") < k)
+    return out
+
+
+def top_n_per_pool(df: DataFrame, top_n: int,
+                   score_col: str = "avg_cfd",
+                   pool_col: str = "pool_id",
+                   pos_col: str = "pos") -> DataFrame:
+    """W1: n most-confident rows per pool, deterministic tie-break on pos."""
+    w = Window.partitionBy(pool_col).orderBy(F.col(score_col).desc(), F.col(pos_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= top_n)
+        .drop("__rn")
+    )
+
+
+def score_predictions(df: DataFrame, preds_col: str = "preds") -> DataFrame:
+    """A1 applied: attach avg_cfd (ignore-O, round 4)."""
+    return df.withColumn("avg_cfd", avg_cfd(preds_col))
+
+
+def agreement_join(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    cos_threshold: float,
+    key: str = "sent_id",
+    tags_col: str = "tags",
+    rename_b: bool = True,
+) -> DataFrame:
+    """J1 + P2 + F5 + F6 + C4: the co-training agreement stage.
+
+    Inner-join the two views' top-n selections on sentence id, project away
+    'O' tags, rename view-B's tag vocabulary (OntoNotes -> ISW,
+    co_training.py:262), then keep pairs whose bag-of-tags cosine exceeds
+    the threshold. Columns from B are suffixed _b.
+
+    Both inputs are tiny relative to the corpus (k*top_n rows) — Catalyst/
+    AQE broadcasts the smaller side; no repartition needed.
+    """
+    b = df_b.select(
+        F.col(key),
+        *[F.col(c).alias(f"{c}_b") for c in df_b.columns if c != key],
+    )
+    joined = df_a.join(b, key, "inner")
+    a_bag = F.filter(F.col(tags_col), lambda t: t != F.lit("O"))
+    b_bag = F.filter(F.col(f"{tags_col}_b"), lambda t: t != F.lit("O"))
+    if rename_b:
+        b_bag = F.transform(b_bag, lambda t: rename_tags_col(t))
+    joined = joined.withColumn("cos_score", cosine_tags(a_bag, b_bag))
+    return joined.filter(F.col("cos_score") > cos_threshold)
+
+
+def teachable(
+    df: DataFrame,
+    cos_threshold: float,
+    tcfd_threshold: float,
+    scfd_threshold: float,
+    t1_tags: str = "t1_tags", t2_tags: str = "t2_tags",
+    t1_cfd: str = "t1_cfd", t2_cfd: str = "t2_cfd", s_cfd: str = "s_cfd",
+) -> DataFrame:
+    """C1: tri-training teachable gate (tri_train.py:44-60).
+
+    NOTE: the reference computes teacher-pair cosine on the FULL label lists
+    (is_teachable receives unfiltered labels, tri_train.py:51-54) — unlike
+    the co-training agreement which drops 'O' first. We preserve that.
+    """
+    cos = cosine_tags(F.col(t1_tags), F.col(t2_tags))
+    gate = (
+        (cos > cos_threshold)
+        & (F.least(F.col(t1_cfd), F.col(t2_cfd)) > tcfd_threshold)
+        & (F.col(s_cfd) < scfd_threshold)
+    )
+    return df.withColumn("cos_score", cos).filter(gate)
+
+
+def arbitrate_labels(
+    t1_tags: Column, t1_cfd: Column, t2_tags: Column, t2_cfd: Column
+) -> Column:
+    """C2: t1==t2 -> t1; else the more confident teacher (tri_train.py:213-219).
+
+    Tie (equal cfd) goes to t2, matching the reference's if/elif/else.
+    """
+    return (
+        F.when(t1_tags == t2_tags, t1_tags)
+        .when(t1_cfd > t2_cfd, t1_tags)
+        .otherwise(t2_tags)
+    )
+
+
+def min_tokens(df: DataFrame, n: int, tokens_col: str = "tokens") -> DataFrame:
+    """P4: sentence length floor (unlabel_generator.py:31,37 uses n=10)."""
+    return df.filter(F.size(F.col(tokens_col)) > n)
+
+
+def bootstrap_views(df: DataFrame, fraction: float = 0.7,
+                    seeds: tuple[int, int, int] = (1, 2, 3)) -> list[DataFrame]:
+    """R2: three bootstrap subsamples with replacement (utils.py:116-134)."""
+    return [df.sample(withReplacement=True, fraction=fraction, seed=s) for s in seeds]
