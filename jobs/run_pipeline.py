@@ -1,0 +1,66 @@
+"""spark-submit entry: run the full KG-construction DAG.
+
+Usage (north rule launch mode):
+
+    python jobs/package.py                      # -> dist/engine.zip
+    spark-submit --py-files dist/engine.zip jobs/run_pipeline.py \
+        --pages 2000 --warehouse /tmp/kg_wh --cpus 8
+
+Reads or generates the `pages` table, runs sentences -> mentions -> voted
+-> triples -> entities -> nodes/edges with per-stage lineage, prints a
+one-line JSON summary (docs/sec throughput).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=2000,
+                    help="generate N synthetic pages (ignored with --input)")
+    ap.add_argument("--input", default=None,
+                    help="existing pages parquet dir (url/warc_ts/html/text/lang)")
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    from thesis_ner_co_tri_training_spark.plans.pipeline import run_pipeline
+    from thesis_ner_co_tri_training_spark.session import get_spark
+    from thesis_ner_co_tri_training_spark.sources.pages import gen_pages_df
+
+    spark = get_spark("kg_pipeline", cpus=args.cpus,
+                      shuffle_partitions=args.shuffle_partitions)
+    if args.input:
+        pages = spark.read.parquet(args.input)
+        n_pages = pages.count()
+    else:
+        pages = gen_pages_df(spark, args.pages)
+        n_pages = args.pages
+
+    t0 = time.time()
+    lineage = run_pipeline(spark, pages, args.warehouse, resume=not args.no_resume)
+    elapsed = time.time() - t0
+
+    summary = {
+        "pages": n_pages,
+        "seconds": round(elapsed, 2),
+        "docs_per_sec": round(n_pages / elapsed, 2),
+        "stages": {
+            k: {"rows": v.get("row_count"), "resumed": v.get("resumed", False)}
+            for k, v in lineage.items()
+        },
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

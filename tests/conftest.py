@@ -1,0 +1,13 @@
+from __future__ import annotations
+
+import pytest
+
+from thesis_ner_co_tri_training_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="pytest", cpus=4, shuffle_partitions=4,
+                  extra_conf={"spark.driver.memory": "4g"})
+    yield s
+    s.stop()

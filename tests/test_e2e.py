@@ -1,0 +1,116 @@
+"""End-to-end: Spark engine vs pure-Python oracle (P/R gate >= 0.95)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.oracle import bio_spans, oracle_run
+from thesis_ner_co_tri_training_spark.operators.mentions import (
+    mentions_table,
+    spans_expr,
+    vote_mentions,
+)
+from thesis_ner_co_tri_training_spark.operators.tagging import (
+    explode_sentences,
+    tag_sentences_df,
+)
+from thesis_ner_co_tri_training_spark.operators.triples import extract_triples
+from thesis_ner_co_tri_training_spark.plans.eval import micro_prf, prf_report
+from thesis_ner_co_tri_training_spark.sources.pages import gen_pages_df
+
+N_PAGES = 60
+
+
+@pytest.fixture(scope="module")
+def engine_out(spark):
+    pages = gen_pages_df(spark, N_PAGES, partitions=4)
+    sents = explode_sentences(pages.drop("text"))  # force the html path
+    voted = vote_mentions(tag_sentences_df(sents))
+    voted = voted.localCheckpoint(eager=True)
+    mentions = mentions_table(voted)
+    triples = extract_triples(voted)
+    return mentions, triples
+
+
+@pytest.fixture(scope="module")
+def oracle_out():
+    return oracle_run(range(N_PAGES))
+
+
+def test_mentions_match_oracle(spark, engine_out, oracle_out):
+    mentions, _ = engine_out
+    o_mentions, _ = oracle_out
+    got = {
+        (r["url"], r["sent_id"], r["beg"], r["end"], r["surface"], r["tag"],
+         r["confidence"])
+        for r in mentions.collect()
+    }
+    want = set(o_mentions)
+    assert want, "oracle produced no mentions — fixture too small"
+    prec = len(got & want) / len(got)
+    rec = len(got & want) / len(want)
+    assert prec >= 0.95 and rec >= 0.95, (prec, rec, list(got ^ want)[:10])
+    # design goal is exact parity, not just 0.95
+    assert got == want
+
+
+def test_triples_match_oracle(spark, engine_out, oracle_out):
+    _, triples = engine_out
+    _, o_triples = oracle_out
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["url"], r["sent_id"], r["confidence"])
+        for r in triples.collect()
+    }
+    want = set(o_triples)
+    assert want, "oracle produced no triples"
+    prec = len(got & want) / len(got)
+    rec = len(got & want) / len(want)
+    assert prec >= 0.95 and rec >= 0.95, (prec, rec, list(got ^ want)[:10])
+    assert got == want
+
+
+def test_prf_report_shape(spark, engine_out, oracle_out):
+    mentions, _ = engine_out
+    o_mentions, _ = oracle_out
+    gold = spark.createDataFrame(
+        o_mentions,
+        "url string, sent_id int, beg int, end int, surface string, "
+        "tag string, confidence double",
+    )
+    rep = prf_report(mentions, gold, keys=["url", "sent_id", "beg", "end"])
+    rows = rep.collect()
+    assert rows
+    for r in rows:
+        assert r["precision"] == 1.0 and r["recall"] == 1.0, r
+    p, r_, f1 = micro_prf(mentions, gold, keys=["url", "sent_id", "beg", "end", "tag"])
+    assert p >= 0.95 and r_ >= 0.95
+
+
+def test_spans_expr_parity(spark):
+    cases = [
+        (["O", "B-PER", "I-PER", "O", "B-GPE"], [0.1, 0.8, 0.6, 0.1, 0.9]),
+        (["B-PER", "B-PER"], [0.5, 0.7]),                 # adjacent B
+        (["I-PER", "O"], [0.4, 0.1]),                     # leading I -> opens span
+        (["B-PER", "I-GPE"], [0.5, 0.5]),                 # I of other type -> new span
+        ([], []),
+        (["O", "O"], [0.1, 0.2]),
+        (["B-ORG", "I-ORG", "I-ORG"], [0.3, 0.6, 0.9]),
+    ]
+    df = spark.createDataFrame(cases, "tags array<string>, confs array<double>")
+    got = [
+        [(s["beg"], s["end"], s["tag"], s["conf"]) for s in r["sp"]]
+        for r in df.select(spans_expr("tags", "confs").alias("sp")).collect()
+    ]
+    want = [bio_spans(t, c) for t, c in cases]
+    assert got == want
+
+
+def test_token_tag_alignment_invariant(spark):
+    # predict.py:113 invariant: size(tokens) == size(preds) per view
+    pages = gen_pages_df(spark, 10, partitions=2)
+    sv = tag_sentences_df(explode_sentences(pages))
+    bad = sv.filter(
+        (F.size("tokens") != F.size("v1_preds"))
+        | (F.size("tokens") != F.size("v2_preds"))
+        | (F.size("tokens") != F.size("v3_preds"))
+    ).count()
+    assert bad == 0

@@ -1,0 +1,111 @@
+"""Pool/top-n/teachable/arbitration selection algebra vs oracle."""
+
+from pyspark.sql import functions as F
+
+from thesis_ner_co_tri_training_spark.operators.selection import (
+    agreement_join,
+    arbitrate_labels,
+    assign_pools,
+    min_tokens,
+    shuffled_with_position,
+    teachable,
+    top_n_per_pool,
+)
+
+
+def test_pools_disjoint_and_sized(spark):
+    df = spark.createDataFrame([(i, f"s{i}") for i in range(100)], ["sent_id", "text"])
+    pooled = assign_pools(shuffled_with_position(df, seed=42), u=10, k=5)
+    rows = pooled.collect()
+    assert len(rows) == 50  # k pools of u
+    by_pool = {}
+    for r in rows:
+        by_pool.setdefault(r["pool_id"], set()).add(r["sent_id"])
+    assert set(by_pool) == {0, 1, 2, 3, 4}
+    assert all(len(v) == 10 for v in by_pool.values())
+    # disjoint
+    all_ids = [i for v in by_pool.values() for i in v]
+    assert len(all_ids) == len(set(all_ids))
+
+
+def test_shuffle_deterministic(spark):
+    df = spark.createDataFrame([(i,) for i in range(50)], ["sent_id"])
+    a = [r["sent_id"] for r in shuffled_with_position(df, 42).orderBy("pos").collect()]
+    b = [r["sent_id"] for r in shuffled_with_position(df, 42).orderBy("pos").collect()]
+    c = [r["sent_id"] for r in shuffled_with_position(df, 43).orderBy("pos").collect()]
+    assert a == b
+    assert a != c
+
+
+def test_top_n_per_pool_with_tie_break(spark):
+    rows = [
+        # pool 0: scores with a tie at 0.9 — pos decides deterministically
+        (1, 0, 0.9, 1), (2, 0, 0.9, 2), (3, 0, 0.5, 3), (4, 0, 0.99, 4),
+        # pool 1
+        (5, 1, 0.1, 5), (6, 1, 0.2, 6), (7, 1, 0.3, 7),
+    ]
+    df = spark.createDataFrame(rows, ["sent_id", "pool_id", "avg_cfd", "pos"])
+    got = {
+        (r["pool_id"], r["sent_id"])
+        for r in top_n_per_pool(df, 2).collect()
+    }
+    assert got == {(0, 4), (0, 1), (1, 7), (1, 6)}
+
+
+def test_teachable_gate(spark):
+    rows = [
+        # cos=1 (identical), teachers confident, student unconfident -> pass
+        (1, ["B-PER", "O"], ["B-PER", "O"], 0.9, 0.8, 0.3),
+        # student too confident -> fail
+        (2, ["B-PER", "O"], ["B-PER", "O"], 0.9, 0.8, 0.9),
+        # teachers disagree (cos 0) -> fail
+        (3, ["B-PER"], ["B-GPE"], 0.9, 0.8, 0.3),
+        # teacher unconfident -> fail
+        (4, ["B-PER", "O"], ["B-PER", "O"], 0.5, 0.9, 0.3),
+    ]
+    df = spark.createDataFrame(
+        rows, "sent_id long, t1_tags array<string>, t2_tags array<string>, "
+              "t1_cfd double, t2_cfd double, s_cfd double")
+    got = [r["sent_id"] for r in
+           teachable(df, 0.7, 0.7, 0.6).orderBy("sent_id").collect()]
+    assert got == [1]
+
+
+def test_arbitration(spark):
+    rows = [
+        (1, ["B-PER"], 0.9, ["B-PER"], 0.1),   # equal -> t1
+        (2, ["B-PER"], 0.9, ["B-GPE"], 0.1),   # t1 more confident -> t1
+        (3, ["B-PER"], 0.1, ["B-GPE"], 0.9),   # t2 more confident -> t2
+        (4, ["B-PER"], 0.5, ["B-GPE"], 0.5),   # tie -> t2 (reference else-branch)
+    ]
+    df = spark.createDataFrame(
+        rows, "sent_id long, t1 array<string>, c1 double, t2 array<string>, c2 double")
+    got = {
+        r["sent_id"]: r["lab"]
+        for r in df.select(
+            "sent_id",
+            arbitrate_labels(F.col("t1"), F.col("c1"), F.col("t2"), F.col("c2")).alias("lab"),
+        ).collect()
+    }
+    assert got == {1: ["B-PER"], 2: ["B-PER"], 3: ["B-GPE"], 4: ["B-GPE"]}
+
+
+def test_agreement_join_rename_and_gate(spark):
+    # A-side ISW tags; B-side OntoNotes tags that rename to the same bag.
+    a = spark.createDataFrame(
+        [(1, ["x"], ["B-PER", "O"], 0.9), (2, ["y"], ["B-GPE"], 0.8),
+         (3, ["z"], ["B-ORG"], 0.7)],
+        "sent_id long, tokens array<string>, tags array<string>, avg_cfd double")
+    b = spark.createDataFrame(
+        [(1, ["x"], ["B-PERSON", "O"], 0.85), (2, ["y"], ["B-DATE"], 0.8)],
+        "sent_id long, tokens array<string>, tags array<string>, avg_cfd double")
+    out = agreement_join(a, b, cos_threshold=0.7).collect()
+    assert len(out) == 1  # sent 1 agrees after PERSON->PER; 2 disagrees; 3 unmatched
+    assert out[0]["sent_id"] == 1
+    assert out[0]["cos_score"] == 1.0
+
+
+def test_min_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, ["a"] * 11), (2, ["a"] * 10)], "id long, tokens array<string>")
+    assert [r["id"] for r in min_tokens(df, 10).collect()] == [1]

@@ -1,0 +1,210 @@
+"""Entity linking + cross-document canonicalization.
+
+Generalizes the reference's agreement check (J4: equi-join then cosine
+verify, co_training.py:263-265) into the scalable two-phase pattern the
+north star names explicitly:
+
+  1. MinHash-LSH blocking on character-3-gram shingles of the normalized
+     surface: band signatures -> groupBy band bucket -> candidate pairs.
+     All hashing is JVM-side (xxhash64 with per-row seeds); candidate
+     generation touches only DISTINCT surfaces, not mention rows.
+  2. Verify: exact n-gram Jaccard similarity on the candidate pairs
+     (the reference's cosine-check role).
+  3. Canonicalize: hash-min label propagation (GraphFrames-style
+     connected components) over the verified-pair edge set, with
+     checkpointing every few rounds to truncate lineage — SURVEY §4's one
+     hand-rolled iterative physical strategy.
+
+Skew: surfaces follow a power law (popular entities appear in many
+documents). Blocking dedups to distinct surfaces FIRST, so bucket sizes
+are bounded by vocabulary, not corpus size; the final mention->entity join
+broadcasts the (small) surface->entity map when it fits, else hash-joins
+on a salted key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def surface_shingles(df: DataFrame, col: str = "surface", n: int = 3) -> DataFrame:
+    """Distinct surfaces -> char n-gram shingle arrays (lowercased, padded)."""
+    padded = F.concat(F.lit("^"), F.lower(F.col(col)), F.lit("$"))
+    grams = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length(concat('^', lower({col}), '$')) - {n - 1}, 1)), "
+        f"i -> substring(concat('^', lower({col}), '$'), i, {n})))"
+    )
+    return df.select(col).distinct().withColumn("shingles", grams)
+
+
+def minhash_signature(df: DataFrame, num_hashes: int = 16,
+                      shingles_col: str = "shingles") -> DataFrame:
+    """Per-surface minhash signature: min over xxhash64(shingle, seed_i).
+
+    JVM-side only: one array-transform + aggregate per hash function.
+    """
+    sigs = F.array(*[
+        F.aggregate(
+            F.transform(F.col(shingles_col), lambda s: F.xxhash64(s, F.lit(i))),
+            F.lit(2**63 - 1).cast("long"),
+            lambda acc, h: F.least(acc, h),
+        )
+        for i in range(num_hashes)
+    ])
+    return df.withColumn("sig", sigs)
+
+
+def lsh_candidate_pairs(df: DataFrame, bands: int = 4, rows_per_band: int = 4,
+                        key: str = "surface") -> DataFrame:
+    """Band the signature, bucket-join surfaces sharing a band hash.
+
+    Output: (a, b) candidate surface pairs with a < b (dedup across bands).
+    """
+    banded = df.select(
+        key,
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(
+                    F.lit(b),
+                    *[F.element_at("sig", b * rows_per_band + r + 1)
+                      for r in range(rows_per_band)],
+                )
+                for b in range(bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{key}") < F.col(f"r.{key}")),
+        )
+        .select(F.col(f"l.{key}").alias("a"), F.col(f"r.{key}").alias("b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(pairs: DataFrame, shingled: DataFrame,
+                   threshold: float = 0.6) -> DataFrame:
+    """Exact n-gram Jaccard on candidates (the J4 'verify' step).
+
+    round 4 per the reference's score convention (utils.py:70).
+    """
+    sa = shingled.select(F.col("surface").alias("a"), F.col("shingles").alias("sh_a"))
+    sb = shingled.select(F.col("surface").alias("b"), F.col("shingles").alias("sh_b"))
+    joined = pairs.join(sa, "a").join(sb, "b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        joined.withColumn(
+            "jaccard",
+            F.round(
+                F.when(union == 0, F.lit(0.0)).otherwise(inter / union), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20,
+                         checkpoint_every: int = 5) -> DataFrame:
+    """Hash-min label propagation: (a, b) string edges -> (node, component).
+
+    component = min surface (lexicographic) of the connected component —
+    a deterministic canonical representative. Alternating small-step joins
+    with localCheckpoint() every few rounds to truncate lineage
+    (GraphFrames' connectedComponents is this same algorithm).
+    """
+    sym = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    for i in range(max_iter):
+        # neighbor's current label, min over neighbors and self
+        nbr = (
+            sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
+    return labels
+
+
+def canonicalize_entities(mentions: DataFrame,
+                          num_hashes: int = 16,
+                          bands: int = 4,
+                          rows_per_band: int = 4,
+                          jaccard_threshold: float = 0.6) -> DataFrame:
+    """mentions -> entities(entity_id, canonical, aliases, n_mentions).
+
+    entity_id is a deterministic hash of the canonical surface (stable
+    across runs and cluster sizes).
+    """
+    shingled = surface_shingles(mentions)
+    sigs = minhash_signature(shingled, num_hashes=num_hashes)
+    pairs = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
+    verified = jaccard_verify(pairs, shingled, threshold=jaccard_threshold)
+    comps = connected_components(verified)
+
+    # Singletons (no verified edge) canonicalize to themselves.
+    all_surfaces = mentions.select("surface").distinct()
+    mapping = (
+        all_surfaces.join(comps.withColumnRenamed("node", "surface"), "surface", "left")
+        .select(
+            "surface",
+            F.coalesce(F.col("comp"), F.col("surface")).alias("canonical"),
+        )
+    )
+    counts = mentions.groupBy("surface").count()
+    return (
+        mapping.join(counts, "surface")
+        .groupBy("canonical")
+        .agg(
+            F.sort_array(F.collect_set("surface")).alias("aliases"),
+            F.sum("count").alias("n_mentions"),
+        )
+        .withColumn("entity_id", F.xxhash64("canonical"))
+        .select("entity_id", "canonical", "aliases", "n_mentions")
+    )
+
+
+def surface_to_entity(mentions: DataFrame, entities: DataFrame) -> DataFrame:
+    """Attach entity_id to every mention; broadcast the alias map."""
+    alias_map = entities.select(
+        F.explode("aliases").alias("surface"), "entity_id", "canonical"
+    )
+    return mentions.join(F.broadcast(alias_map), "surface", "left")

@@ -43,10 +43,11 @@ def spans_expr(tags_col: str, confs_col: str) -> Column:
     opens a new span (seqeval 'default' behavior). conf = round-4 mean of
     member token confidences (utils.py round-4 convention).
     """
+    # (t, i) transform keeps the fold total on empty arrays —
+    # sequence(0, size-1) would generate a DESCENDING [0,-1] when size=0.
     items = (
-        f"transform(sequence(0, size({tags_col}) - 1), i -> named_struct("
-        f"'i', i, 'tg', element_at({tags_col}, i + 1), "
-        f"'cf', element_at({confs_col}, i + 1)))"
+        f"transform({tags_col}, (t, i) -> named_struct("
+        f"'i', i, 'tg', t, 'cf', element_at({confs_col}, i + 1)))"
     )
     zero = (
         f"named_struct('spans', cast(array() as {_SPAN_STRUCT}), "
