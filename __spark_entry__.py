@@ -1,38 +1,837 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator from SURVEY.md §2 (or a
+training-data-pipeline extension) expressed Spark-first; ``oracle_sql()``
+holds the DuckDB-equivalent ANSI SQL run side-by-side at sf=0.01.
+
+Determinism notes (so value-hashes match across engines):
+  - money sums go through DECIMAL(18,2) (exact) and cast to double last;
+  - confidences/scores are derived with integer arithmetic then one
+    double division (identical IEEE ops in both engines);
+  - ranks are row_number with fully-pinned tie-breaks, cast to bigint.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+# Inline gazetteer over the synthetic documents vocabulary (word, tag, conf).
+GAZ = [
+    ("spark", "ORG", 0.95), ("customer", "PER", 0.9), ("table", "FAC", 0.8),
+    ("vector", "ART", 0.85), ("stream", "LOC", 0.75), ("window", "FAC", 0.7),
+    ("line", "ART", 0.65), ("hash", "MISC", 0.6),
+]
+# Pred-view gazetteer (subset + one deliberate disagreement) for P/R tests.
+GAZ_PRED = [
+    ("spark", "ORG", 0.95), ("customer", "PER", 0.9), ("table", "LOC", 0.8),
+    ("vector", "ART", 0.85), ("stream", "LOC", 0.75),
+]
+CUES = ["join", "merge", "scan", "filter"]
+
+_GAZ_SQL = "(VALUES " + ", ".join(f"('{w}', '{t}', {c})" for w, t, c in GAZ) + ") AS g(word, tag, conf)"
+_GAZ_PRED_SQL = "(VALUES " + ", ".join(f"('{w}', '{t}', {c})" for w, t, c in GAZ_PRED) + ") AS g(word, tag, conf)"
+_CUES_SQL = "(" + ", ".join(f"'{c}'" for c in CUES) + ")"
+
+# DuckDB token explode (0-based pos), reused across oracles.
+_TOK_CTE = """
+tok AS (
+    SELECT d.doc_id, g.i - 1 AS pos,
+           list_extract(string_split(d.text, ' '), g.i) AS word
+    FROM documents d,
+         LATERAL (SELECT unnest(generate_series(1, len(string_split(d.text, ' ')))) AS i) g
+)
+"""
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _gaz_df(spark: SparkSession, gaz=GAZ) -> DataFrame:
+    return spark.createDataFrame(gaz, "word string, tag string, conf double")
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos_i", "word"),
+    ).select("doc_id", F.col("pos_i").cast("long").alias("pos"), "word")
+
+
+def _mentions(spark: SparkSession, sf_dir: str, gaz=GAZ) -> DataFrame:
+    return _tokens(spark, sf_dir).join(
+        F.broadcast(_gaz_df(spark, gaz)), "word"
+    ).select("doc_id", "pos", "word", "tag", "conf")
+
+
+# --------------------------------------------------------------------------
+# Query implementations (Spark-first)
+# --------------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style scan+agg; DECIMAL-exact money math (SURVEY A6/S-scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec2 = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2025-06-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec2("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec2("l_discount")))
+            .cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 4))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q02_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + top-n by revenue (J1-analog equi-join chain, W1 top-k)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            ).alias("rev_dec")
+        )
+    )
+    w = Window.orderBy(F.col("rev_dec").desc(), F.col("c_custkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "c_custkey", "c_name", F.col("rev_dec").cast("double").alias("revenue"))
+    )
+
+
+def q03_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast star join + agg (region ⋈ nation ⋈ customer)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_acctbal"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def q04_topn_per_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+W2: top-3 per pool by deterministic score, pinned tie-break."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("pool_id"),
+        ((F.col("doc_id") * F.lit(2654435761)) % 10000 / F.lit(10000.0)).alias("score"),
+    )
+    w = Window.partitionBy("pool_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("pool_id", "rank", "doc_id", "score")
+    )
+
+
+def q05_avg_cfd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per-doc avg confidence ignoring 'O' (unmatched tokens), empty->0."""
+    docs = _t(spark, sf_dir, "documents")
+    m = _mentions(spark, sf_dir)
+    agg = m.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.col("conf").cast("decimal(8,4)")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_cfd_m")
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id", F.coalesce("avg_cfd_m", F.lit(0.0)).alias("avg_cfd")
+    )
+
+
+def q06_cosine_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/A2: bag-of-tags cosine between doc d and doc d+1 (relational form)."""
+    m = _mentions(spark, sf_dir)
+    counts = m.groupBy("doc_id", "tag").agg(F.count(F.lit(1)).alias("cnt"))
+    a = counts.select(F.col("doc_id").alias("a"), "tag", F.col("cnt").alias("ca"))
+    b = counts.select((F.col("doc_id") - 1).alias("a"), "tag", F.col("cnt").alias("cb"))
+    dots = (
+        a.join(b, ["a", "tag"])
+        .groupBy("a")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    norms = counts.groupBy("doc_id").agg(F.sum(F.col("cnt") * F.col("cnt")).alias("n2"))
+    na = norms.select(F.col("doc_id").alias("a"), F.col("n2").alias("na2"))
+    nb = norms.select((F.col("doc_id") - 1).alias("a"), F.col("n2").alias("nb2"))
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("a"))
+    max_id = docs.agg(F.max("a")).collect()[0][0]
+    pairs = docs.filter(F.col("a") < max_id)
+    return (
+        pairs.join(na, "a", "left").join(nb, "a", "left").join(dots, "a", "left")
+        .select(
+            "a",
+            (F.col("a") + 1).alias("b"),
+            F.when(
+                F.col("na2").isNull() | F.col("nb2").isNull() | F.col("dot").isNull(),
+                F.lit(0.0),
+            )
+            .otherwise(
+                F.round(F.col("dot") / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))), 4)
+            )
+            .alias("cos_score"),
+        )
+    )
+
+
+_LONG_OF = {"PER": "PERSON", "ORG": "ORG_RAW", "FAC": "FAC", "ART": "WORK_OF_ART",
+            "LOC": "LOC", "MISC": "MONEY"}
+
+
+def q07_tag_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: ordered OntoNotes->ISW rename chain over mention tags."""
+    from thesis_ner_co_tri_training_spark.functions.simfn import rename_tags_col
+
+    m = _mentions(spark, sf_dir)
+    long_tag = F.col("tag")
+    for short, long in _LONG_OF.items():
+        long_tag = F.when(F.col("tag") == short, F.lit(long)).otherwise(long_tag)
+    return (
+        m.withColumn("long_tag", long_tag)
+        .withColumn("renamed", rename_tags_col("long_tag"))
+        .groupBy("long_tag", "renamed")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("long_tag")
+    )
+
+
+def q08_teachable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: teachable gate on deterministic per-doc view confidences."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        ((F.col("doc_id") * 7919) % 1000 / F.lit(1000.0)).alias("t1_cfd"),
+        ((F.col("doc_id") * 104729) % 1000 / F.lit(1000.0)).alias("t2_cfd"),
+        ((F.col("doc_id") * 1299709) % 1000 / F.lit(1000.0)).alias("s_cfd"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(0.5)).otherwise(F.lit(1.0)).alias("cos_score"),
+    )
+    return d.filter(
+        (F.col("cos_score") > 0.7)
+        & (F.least("t1_cfd", "t2_cfd") > 0.6)
+        & (F.col("s_cfd") < 0.5)
+    )
+
+
+def q09_arbitration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: label arbitration (t1==t2 -> t1; else higher-confidence teacher)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        ((F.col("doc_id") * 7919) % 1000 / F.lit(1000.0)).alias("t1_cfd"),
+        ((F.col("doc_id") * 104729) % 1000 / F.lit(1000.0)).alias("t2_cfd"),
+        (F.col("doc_id") % 2 == 0).alias("tags_equal"),
+    )
+    return d.select(
+        "doc_id",
+        F.when(F.col("tags_equal"), F.lit("t1"))
+        .when(F.col("t1_cfd") > F.col("t2_cfd"), F.lit("t1"))
+        .otherwise(F.lit("t2"))
+        .alias("winner"),
+    )
+
+
+def q10_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: gap>30min sessionization via lag + cumulative sum per user."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts is TIMESTAMP_NTZ; session tz is UTC so the cast is exact
+    us = lambda c: F.unix_micros(c.cast("timestamp"))
+    gap = us(F.col("ts")) - us(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800 * 1000000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q11_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 head + full over normalized text."""
+    from thesis_ner_co_tri_training_spark.operators.textstats import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint(docs).select("doc_id", "fp_head", "fp_full")
+
+
+def q12_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard similarity between adjacent docs (dedup verify path)."""
+    from thesis_ner_co_tri_training_spark.operators.dedup import token_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = token_shingles(docs, "doc_id", "text", n=3)
+    sa = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select((F.col("doc_id") - 1).alias("a"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        sa.join(sb, "a")
+        .select(
+            "a",
+            (F.col("a") + 1).alias("b"),
+            F.round(
+                F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union), 4
+            ).alias("jaccard"),
+        )
+    )
+
+
+def q13_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: argmax stopword ratio (und when all zero)."""
+    from thesis_ner_co_tri_training_spark.operators.textstats import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return language_id(docs).select(
+        "doc_id", "sw_en", "sw_de", "sw_es", "sw_fr", "lang_pred"
+    )
+
+
+def q14_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score from length/alpha/stopword/distinct signals."""
+    from thesis_ner_co_tri_training_spark.operators.textstats import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_score(docs).select("doc_id", "n_tokens", "quality")
+
+
+def q15_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + distinct (BPE-ish count is engine-only)."""
+    from thesis_ner_co_tri_training_spark.operators.textstats import token_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_counts(docs).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+    )
+
+
+def q16_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of vec_id=0 (ANN baseline)."""
+    from thesis_ner_co_tri_training_spark.operators.simsearch import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).cast("long").alias("query_id"), "embedding"
+    )
+    return cosine_topk(
+        emb.filter(F.col("vec_id") > 0), queries, k=10
+    ).select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cosine")
+
+
+def q17_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (vec_id<100, cosine>=0.3)."""
+    from thesis_ner_co_tri_training_spark.operators.dedup import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return embedding_near_dups(emb, threshold=0.3)
+
+
+def q18_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window agg per event_type (batch mirror of the stream op)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def q19_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (xxhash64 — no SQL oracle)."""
+    from thesis_ner_co_tri_training_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs).orderBy("a", "b")
+
+
+def q20_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per doc (xxhash64 — no SQL oracle)."""
+    from thesis_ner_co_tri_training_spark.operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs)
+
+
+def q21_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gazetteer mention detection over the documents table (S1/D3 analog)."""
+    return _mentions(spark, sf_dir)
+
+
+def q22_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: cue-pattern triple extraction over gazetteer mentions.
+
+    subj/obj = mention pair (pos1 < pos2) with a cue token strictly
+    between; pred = first such cue; confidence = min(conf) round 4.
+    """
+    m = _mentions(spark, sf_dir)
+    toks = _tokens(spark, sf_dir)
+    cues = toks.filter(F.col("word").isin(CUES)).select(
+        "doc_id", F.col("pos").alias("cue_pos"), F.col("word").alias("cue")
+    )
+    m1 = m.select("doc_id", F.col("pos").alias("p1"), F.col("word").alias("subj"),
+                  F.col("conf").alias("c1"))
+    m2 = m.select("doc_id", F.col("pos").alias("p2"), F.col("word").alias("obj"),
+                  F.col("conf").alias("c2"))
+    return (
+        m1.join(m2, "doc_id")
+        .filter(F.col("p1") < F.col("p2"))
+        .join(cues, "doc_id")
+        .filter((F.col("cue_pos") > F.col("p1")) & (F.col("cue_pos") < F.col("p2")))
+        .groupBy("doc_id", "p1", "p2", "subj", "obj", "c1", "c2")
+        .agg(F.min_by("cue", "cue_pos").alias("pred"))
+        .select(
+            "subj", "pred", "obj", "doc_id", "p1", "p2",
+            F.round(F.least("c1", "c2"), 4).alias("confidence"),
+        )
+    )
+
+
+def q23_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: per-tag P/R/F1 of the pred gazetteer view vs the gold view."""
+    from thesis_ner_co_tri_training_spark.plans.eval import prf_report
+
+    pred = _mentions(spark, sf_dir, GAZ_PRED).select("doc_id", "pos", "tag")
+    gold = _mentions(spark, sf_dir, GAZ).select("doc_id", "pos", "tag")
+    return prf_report(pred, gold, keys=["doc_id", "pos"])
+
+
+def q24_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 suppliers per nation by revenue (window rank over join+agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "s_suppkey", "s_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            ).alias("rev_dec")
+        )
+    )
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("rev_dec").desc(), "s_suppkey")
+    return (
+        rev.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "s_nationkey", "rank", "s_suppkey", "s_name",
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+    )
+
+
+def q25_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate grouping by normalized-text hash (may be empty —
+    both engines must agree on that too)."""
+    from thesis_ner_co_tri_training_spark.operators.dedup import exact_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_duplicates(docs).select("content_hash", "n_docs")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: triple extraction over sf0.001 documents."""
+    return q22_triples(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_top_customers": q02_top_customers,
+        "q03_nation_rollup": q03_nation_rollup,
+        "q04_topn_per_pool": q04_topn_per_pool,
+        "q05_avg_cfd": q05_avg_cfd,
+        "q06_cosine_adjacent": q06_cosine_adjacent,
+        "q07_tag_rename": q07_tag_rename,
+        "q08_teachable": q08_teachable,
+        "q09_arbitration": q09_arbitration,
+        "q10_sessionize": q10_sessionize,
+        "q11_fingerprints": q11_fingerprints,
+        "q12_ngram_jaccard": q12_ngram_jaccard,
+        "q13_lang_id": q13_lang_id,
+        "q14_quality": q14_quality,
+        "q15_token_counts": q15_token_counts,
+        "q16_embedding_topk": q16_embedding_topk,
+        "q17_embedding_near_dups": q17_embedding_near_dups,
+        "q18_events_hourly": q18_events_hourly,
+        "q19_minhash_pairs": q19_minhash_pairs,
+        "q20_simhash": q20_simhash,
+        "q21_mentions": q21_mentions,
+        "q22_triples": q22_triples,
+        "q23_prf": q23_prf,
+        "q24_supplier_rank": q24_supplier_rank,
+        "q25_exact_dedup": q25_exact_dedup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sw = {
+        "en": "'the','and','of','to','a','in','is','it','you','that','with','for','on','are','as'",
+        "de": "'der','die','das','und','ist','ich','nicht','mit','ein','eine','zu','den','von','für','auf'",
+        "es": "'el','la','de','que','y','en','un','una','es','los','se','del','las','por','con'",
+        "fr": "'le','la','de','et','les','des','est','un','une','du','que','qui','dans','pour','pas'",
+    }
+    sw_ratio = lambda l: (
+        f"round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE "
+        f"len(list_filter(toks, t -> t IN ({sw[l]}))) / CAST(n_tokens AS DOUBLE) END, 4)"
+    )
+    lang_base = f"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(trim(text)), ' '), t -> t <> '') AS toks
+            FROM documents
+        ), counted AS (
+            SELECT doc_id, toks, len(toks) AS n_tokens FROM base
+        ), ratios AS (
+            SELECT doc_id, n_tokens,
+                   {sw_ratio('en')} AS sw_en,
+                   {sw_ratio('de')} AS sw_de,
+                   {sw_ratio('es')} AS sw_es,
+                   {sw_ratio('fr')} AS sw_fr
+            FROM counted
+        )
     """
-    return {}
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+                   count(*) AS count_order,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2025-06-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q02_top_customers": """
+            WITH rev AS (
+                SELECT c_custkey, c_name,
+                       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                GROUP BY c_custkey, c_name
+            )
+            SELECT row_number() OVER (ORDER BY rev_dec DESC, c_custkey) AS rank,
+                   c_custkey, c_name, CAST(rev_dec AS DOUBLE) AS revenue
+            FROM rev ORDER BY rank LIMIT 10
+        """,
+        "q03_nation_rollup": """
+            SELECT r_name, n_name, count(*) AS n_customers,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name ORDER BY r_name, n_name
+        """,
+        "q04_topn_per_pool": """
+            WITH scored AS (
+                SELECT doc_id, doc_id % 8 AS pool_id,
+                       ((doc_id * 2654435761) % 10000) / 10000.0 AS score
+                FROM documents
+            )
+            SELECT pool_id, rank, doc_id, score FROM (
+                SELECT pool_id, doc_id, score,
+                       row_number() OVER (PARTITION BY pool_id ORDER BY score DESC, doc_id) AS rank
+                FROM scored
+            ) WHERE rank <= 3
+        """,
+        "q05_avg_cfd": f"""
+            WITH {_TOK_CTE},
+            m AS (
+                SELECT t.doc_id, g.conf FROM tok t JOIN {_GAZ_SQL} ON t.word = g.word
+            ),
+            agg AS (
+                SELECT doc_id,
+                       round(CAST(sum(CAST(conf AS DECIMAL(8,4))) AS DOUBLE) / count(*), 4) AS avg_cfd_m
+                FROM m GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(agg.avg_cfd_m, 0.0) AS avg_cfd
+            FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        """,
+        "q06_cosine_adjacent": f"""
+            WITH {_TOK_CTE},
+            m AS (SELECT t.doc_id, g.tag FROM tok t JOIN {_GAZ_SQL} ON t.word = g.word),
+            counts AS (SELECT doc_id, tag, count(*) AS cnt FROM m GROUP BY doc_id, tag),
+            dots AS (
+                SELECT a.doc_id AS a, sum(a.cnt * b.cnt) AS dot
+                FROM counts a JOIN counts b ON b.doc_id = a.doc_id + 1 AND b.tag = a.tag
+                GROUP BY a.doc_id
+            ),
+            norms AS (SELECT doc_id, sum(cnt * cnt) AS n2 FROM counts GROUP BY doc_id)
+            SELECT d.doc_id AS a, d.doc_id + 1 AS b,
+                   CASE WHEN na.n2 IS NULL OR nb.n2 IS NULL OR dots.dot IS NULL THEN 0.0
+                        ELSE round(dots.dot / (sqrt(na.n2) * sqrt(nb.n2)), 4) END AS cos_score
+            FROM documents d
+            LEFT JOIN norms na ON na.doc_id = d.doc_id
+            LEFT JOIN norms nb ON nb.doc_id = d.doc_id + 1
+            LEFT JOIN dots ON dots.a = d.doc_id
+            WHERE d.doc_id < (SELECT max(doc_id) FROM documents)
+        """,
+        "q07_tag_rename": f"""
+            WITH {_TOK_CTE},
+            m AS (SELECT t.doc_id, g.tag FROM tok t JOIN {_GAZ_SQL} ON t.word = g.word),
+            longs AS (
+                SELECT CASE tag WHEN 'PER' THEN 'PERSON' WHEN 'ORG' THEN 'ORG_RAW'
+                                WHEN 'FAC' THEN 'FAC' WHEN 'ART' THEN 'WORK_OF_ART'
+                                WHEN 'LOC' THEN 'LOC' WHEN 'MISC' THEN 'MONEY'
+                                ELSE tag END AS long_tag
+                FROM m
+            )
+            SELECT long_tag,
+                   replace(replace(replace(replace(replace(replace(replace(replace(
+                       long_tag, 'EVENT','EVT'), 'LANGUAGE','LAN'), 'MONEY','MON'),
+                       'NORP','NRP'), 'PERSON','PER'), 'PERCENT','PERC'),
+                       'QUANTITY','QUAN'), 'WORK_OF_ART','ART') AS renamed,
+                   count(*) AS n
+            FROM longs GROUP BY long_tag ORDER BY long_tag
+        """,
+        "q08_teachable": """
+            WITH d AS (
+                SELECT doc_id,
+                       ((doc_id * 7919) % 1000) / 1000.0 AS t1_cfd,
+                       ((doc_id * 104729) % 1000) / 1000.0 AS t2_cfd,
+                       ((doc_id * 1299709) % 1000) / 1000.0 AS s_cfd,
+                       CASE WHEN doc_id % 3 = 0 THEN 0.5 ELSE 1.0 END AS cos_score
+                FROM documents
+            )
+            SELECT * FROM d
+            WHERE cos_score > 0.7 AND least(t1_cfd, t2_cfd) > 0.6 AND s_cfd < 0.5
+        """,
+        "q09_arbitration": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 't1'
+                        WHEN ((doc_id * 7919) % 1000) / 1000.0 > ((doc_id * 104729) % 1000) / 1000.0 THEN 't1'
+                        ELSE 't2' END AS winner
+            FROM documents
+        """,
+        "q10_sessionize": """
+            WITH flagged AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+                SELECT user_id,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM flagged
+            )
+            SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+            FROM sess GROUP BY user_id ORDER BY user_id
+        """,
+        "q11_fingerprints": r"""
+            SELECT doc_id,
+                   md5(substring(lower(regexp_replace(text, '\s+', ' ', 'g')), 1, 64)) AS fp_head,
+                   md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp_full
+            FROM documents
+        """,
+        "q12_ngram_jaccard": r"""
+            WITH toks AS (
+                SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       list_distinct(list_filter(
+                           list_transform(generate_series(1, len(t)),
+                               i -> CASE WHEN i + 2 <= len(t)
+                                    THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2] END),
+                           x -> x IS NOT NULL)) AS g
+                FROM toks
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   round(CASE WHEN len(list_distinct(a.g || b.g)) = 0 THEN 0.0
+                         ELSE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                              / len(list_distinct(a.g || b.g)) END, 4) AS jaccard
+            FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
+        """,
+        "q13_lang_id": lang_base + """
+            SELECT doc_id, sw_en, sw_de, sw_es, sw_fr,
+                   CASE WHEN greatest(sw_en, sw_de, sw_es, sw_fr) <= 0.0 THEN 'und'
+                        WHEN sw_fr >= sw_es AND sw_fr >= sw_en AND sw_fr >= sw_de THEN 'fr'
+                        WHEN sw_es >= sw_en AND sw_es >= sw_de THEN 'es'
+                        WHEN sw_en >= sw_de THEN 'en'
+                        ELSE 'de' END AS lang_pred
+            FROM ratios
+        """,
+        "q14_quality": lang_base + """
+            , alpha AS (
+                SELECT doc_id,
+                       len(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
+                       len(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace
+                FROM documents
+            ),
+            distincts AS (
+                SELECT doc_id, len(list_distinct(toks)) AS n_distinct FROM counted
+            )
+            SELECT r.doc_id, CAST(r.n_tokens AS INTEGER) AS n_tokens,
+                   round((
+                       least(r.n_tokens / 100.0, 1.0)
+                       + CASE WHEN a.n_nonspace = 0 THEN 0.0
+                              ELSE CAST(a.n_alpha AS DOUBLE) / a.n_nonspace END
+                       + least(greatest(sw_en, sw_de, sw_es, sw_fr) / 0.3, 1.0)
+                       + CASE WHEN r.n_tokens = 0 THEN 0.0
+                              ELSE CAST(d.n_distinct AS DOUBLE) / r.n_tokens END
+                   ) / 4, 4) AS quality
+            FROM ratios r JOIN alpha a ON r.doc_id = a.doc_id
+            JOIN distincts d ON r.doc_id = d.doc_id
+        """,
+        "q15_token_counts": """
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(string_split(lower(trim(text)), ' '), t -> t <> '') AS toks
+                FROM documents
+            )
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens
+            FROM base
+        """,
+        "q16_embedding_topk": """
+            WITH q AS (
+                SELECT cast(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+            ),
+            scored AS (
+                SELECT e.vec_id,
+                       list_dot_product(cast(e.embedding AS DOUBLE[]), q.qv)
+                       / (sqrt(list_dot_product(cast(e.embedding AS DOUBLE[]), cast(e.embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+                FROM embeddings e, q WHERE e.vec_id > 0
+            )
+            SELECT CAST(0 AS BIGINT) AS query_id, vec_id,
+                   row_number() OVER (ORDER BY cos DESC, vec_id) AS rank,
+                   round(cos, 4) AS cosine
+            FROM scored ORDER BY rank LIMIT 10
+        """,
+        "q17_embedding_near_dups": """
+            WITH v AS (
+                SELECT vec_id, cast(embedding AS DOUBLE[]) AS ve FROM embeddings WHERE vec_id < 100
+            )
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_dot_product(a.ve, b.ve)
+                         / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 4) AS cosine
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.ve, b.ve)
+                  / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) >= 0.3
+        """,
+        "q18_events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q21_mentions": f"""
+            WITH {_TOK_CTE}
+            SELECT t.doc_id, t.pos, t.word, g.tag, g.conf
+            FROM tok t JOIN {_GAZ_SQL} ON t.word = g.word
+        """,
+        "q22_triples": f"""
+            WITH {_TOK_CTE},
+            m AS (SELECT t.doc_id, t.pos, t.word, g.conf
+                  FROM tok t JOIN {_GAZ_SQL} ON t.word = g.word),
+            cues AS (SELECT doc_id, pos AS cue_pos, word AS cue FROM tok
+                     WHERE word IN {_CUES_SQL})
+            SELECT m1.word AS subj, arg_min(c.cue, c.cue_pos) AS pred, m2.word AS obj,
+                   m1.doc_id AS doc_id, m1.pos AS p1, m2.pos AS p2,
+                   round(least(m1.conf, m2.conf), 4) AS confidence
+            FROM m m1
+            JOIN m m2 ON m1.doc_id = m2.doc_id AND m1.pos < m2.pos
+            JOIN cues c ON c.doc_id = m1.doc_id AND c.cue_pos > m1.pos AND c.cue_pos < m2.pos
+            GROUP BY m1.word, m2.word, m1.doc_id, m1.pos, m2.pos, m1.conf, m2.conf
+        """,
+        "q23_prf": f"""
+            WITH {_TOK_CTE},
+            pred AS (SELECT DISTINCT t.doc_id, t.pos, g.tag
+                     FROM tok t JOIN {_GAZ_PRED_SQL} ON t.word = g.word),
+            gold AS (SELECT DISTINCT t.doc_id, t.pos, g.tag
+                     FROM tok t JOIN {_GAZ_SQL} ON t.word = g.word),
+            j AS (
+                SELECT coalesce(p.tag, g.tag) AS tag,
+                       CASE WHEN p.doc_id IS NOT NULL AND g.doc_id IS NOT NULL THEN 1 ELSE 0 END AS tp,
+                       CASE WHEN p.doc_id IS NOT NULL AND g.doc_id IS NULL THEN 1 ELSE 0 END AS fp,
+                       CASE WHEN p.doc_id IS NULL AND g.doc_id IS NOT NULL THEN 1 ELSE 0 END AS fn
+                FROM pred p FULL OUTER JOIN gold g
+                     ON p.doc_id = g.doc_id AND p.pos = g.pos AND p.tag = g.tag
+            ),
+            agg AS (SELECT tag AS entity_type, sum(tp) AS tp, sum(fp) AS fp, sum(fn) AS fn
+                    FROM j GROUP BY tag)
+            SELECT entity_type,
+                   round(CASE WHEN tp + fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fp) END, 4) AS precision,
+                   round(CASE WHEN tp + fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fn) END, 4) AS recall,
+                   round(CASE WHEN (CASE WHEN tp+fp=0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fp) END)
+                              + (CASE WHEN tp+fn=0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fn) END) = 0 THEN 0.0
+                         ELSE 2 * (CASE WHEN tp+fp=0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fp) END)
+                              * (CASE WHEN tp+fn=0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fn) END)
+                              / ((CASE WHEN tp+fp=0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fp) END)
+                                 + (CASE WHEN tp+fn=0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fn) END)) END, 4) AS f1,
+                   (tp + fn) AS support
+            FROM agg ORDER BY entity_type
+        """,
+        "q24_supplier_rank": """
+            WITH rev AS (
+                SELECT s_nationkey, s_suppkey, s_name,
+                       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+                FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                GROUP BY s_nationkey, s_suppkey, s_name
+            )
+            SELECT s_nationkey, rank, s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS revenue
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY s_nationkey
+                                             ORDER BY rev_dec DESC, s_suppkey) AS rank
+                FROM rev
+            ) WHERE rank <= 3
+        """,
+        "q25_exact_dedup": r"""
+            SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
+                   count(*) AS n_docs
+            FROM documents
+            GROUP BY 1 HAVING count(*) > 1
+        """,
+        # q19/q20 intentionally omitted: xxhash64-based (rows-only check).
+    }

@@ -1,0 +1,99 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "kg_docs_per_sec": ...}
+
+The KG pipeline throughput (docs/sec over synthetic Common-Crawl-style
+pages, the BASELINE.json headline) is included as kg_pipeline_<N> plus a
+kg_docs_per_sec field. Scaling-efficiency evidence (local[8] vs local[32])
+lives in jobs/bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from thesis_ner_co_tri_training_spark.session import get_spark
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_top_customers",
+    "q04_topn_per_pool",
+    "q05_avg_cfd",
+    "q06_cosine_adjacent",
+    "q10_sessionize",
+    "q12_ngram_jaccard",
+    "q13_lang_id",
+    "q14_quality",
+    "q16_embedding_topk",
+    "q19_minhash_pairs",
+    "q21_mentions",
+    "q22_triples",
+    "q24_supplier_rank",
+]
+
+KG_PAGES = int(os.environ.get("BENCH_KG_PAGES", "4000"))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("bench", cpus=cpus)
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+
+    # KG pipeline throughput: pages -> sentences -> tagging -> vote ->
+    # mentions + triples (no disk writes; measures the compute DAG).
+    from thesis_ner_co_tri_training_spark.operators.mentions import (
+        mentions_table, vote_mentions)
+    from thesis_ner_co_tri_training_spark.operators.tagging import (
+        explode_sentences, tag_sentences_df)
+    from thesis_ner_co_tri_training_spark.operators.triples import extract_triples
+    from thesis_ner_co_tri_training_spark.sources.pages import gen_pages_df
+
+    pages = gen_pages_df(spark, KG_PAGES).cache()
+    pages.count()  # materialize input outside the timed section
+    t0 = time.time()
+    voted = vote_mentions(tag_sentences_df(explode_sentences(pages.drop("text"))))
+    voted = voted.cache()
+    n_m = mentions_table(voted).count()
+    n_t = extract_triples(voted).count()
+    kg_sec = round(time.time() - t0, 3)
+    timings[f"kg_pipeline_{KG_PAGES}"] = kg_sec
+    voted.unpersist()
+    pages.unpersist()
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_queries_plus_kg_pipeline",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "kg_pages": KG_PAGES,
+        "kg_docs_per_sec": round(KG_PAGES / kg_sec, 2),
+        "kg_mentions": n_m,
+        "kg_triples": n_t,
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,81 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB at the given sf dir,
+compare row count, sorted column names, and order-insensitive values.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+from thesis_ner_co_tri_training_spark.session import get_spark
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def main(sf_dir: str) -> int:
+    spark = get_spark("contract_check", cpus=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in entrymod.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"{name}: SPARK ERROR {str(e)[:300]}")
+            continue
+        if name not in oracles:
+            print(f"{name}: rows={len(sdf)} (rows-only, no oracle)")
+            if len(sdf) == 0 and name not in ("q25_exact_dedup",):
+                failures.append((name, "0 rows in rows-only query"))
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            failures.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"{name}: DUCKDB ERROR {str(e)[:300]}")
+            continue
+        s, o = canon(sdf), canon(odf)
+        if list(s.columns) != list(o.columns):
+            failures.append((name, f"cols {list(s.columns)} vs {list(o.columns)}"))
+            print(f"{name}: COLUMN MISMATCH {list(s.columns)} vs {list(o.columns)}")
+            continue
+        if len(s) != len(o):
+            failures.append((name, f"rows {len(s)} vs {len(o)}"))
+            print(f"{name}: ROWCOUNT MISMATCH {len(s)} vs {len(o)}")
+            continue
+        if not s.equals(o):
+            diff_mask = (s != o) & ~(s.isna() & o.isna())
+            ndiff = int(diff_mask.any(axis=1).sum())
+            if ndiff:
+                idx = diff_mask.any(axis=1).idxmax()
+                failures.append((name, f"{ndiff} differing rows"))
+                print(f"{name}: VALUE MISMATCH {ndiff}/{len(s)} rows; first:")
+                print("  spark :", s.loc[idx].to_dict())
+                print("  duckdb:", o.loc[idx].to_dict())
+                continue
+        print(f"{name}: OK rows={len(s)}")
+    spark.stop()
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} OK")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))

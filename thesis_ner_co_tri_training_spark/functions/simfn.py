@@ -84,62 +84,59 @@ def non_o(tags: Column | str) -> Column:
 
 
 def tag_counts(tags: Column | str) -> Column:
-    """A2: bag-of-tags count map via aggregate (no shuffle, per-row)."""
+    """A2: bag-of-tags count map (per-row, no shuffle)."""
     col = F.col(tags) if isinstance(tags, str) else tags
-    return F.aggregate(
-        col,
-        F.create_map().cast("map<string,int>"),
-        lambda acc, t: F.map_zip_with(
-            acc,
-            F.create_map(t, F.lit(1)),
-            lambda _k, v1, v2: F.coalesce(v1, F.lit(0)) + F.coalesce(v2, F.lit(0)),
-        ),
+    ks = F.array_distinct(col)
+    return F.map_from_arrays(
+        ks, F.transform(ks, lambda t: F.size(F.filter(col, lambda x: x == t)))
     )
 
 
 def cosine_tags(a_tags: Column | str, b_tags: Column | str) -> Column:
     """F6: bag-of-tags cosine as a single JVM-side expression.
 
-    dot = sum over shared keys of ca*cb; norms from each count map;
-    0/0 -> 0; round 4. Matches cosine_similarity() bit-for-bit on int
-    counts (all arithmetic exact until the final division).
+    Count-and-multiply over distinct keys (no map churn): for short tag
+    lists (sentence length) this is O(D*L) with plain array scans.
+    0/0 -> 0; round 4 — bit-identical to cosine_similarity() (all
+    arithmetic exact integers until the final division).
     """
-    ca = tag_counts(a_tags)
-    cb = tag_counts(b_tags)
+    a = F.col(a_tags) if isinstance(a_tags, str) else a_tags
+    b = F.col(b_tags) if isinstance(b_tags, str) else b_tags
+    cnt = lambda arr, t: F.size(F.filter(arr, lambda x: x == t))
     dot = F.aggregate(
-        F.map_entries(F.map_zip_with(
-            ca, cb,
-            lambda _k, v1, v2: F.coalesce(v1, F.lit(0)) * F.coalesce(v2, F.lit(0)),
-        )),
+        F.array_distinct(a),
         F.lit(0).cast("long"),
-        lambda acc, e: acc + e["value"],
+        lambda acc, t: acc + (cnt(a, t) * cnt(b, t)).cast("long"),
     )
-    def _norm(cm: Column) -> Column:
-        return F.sqrt(
-            F.aggregate(
-                F.map_entries(cm),
-                F.lit(0).cast("long"),
-                lambda acc, e: acc + e["value"] * e["value"],
-            ).cast("double")
+    def _n2(arr: Column) -> Column:
+        return F.aggregate(
+            F.array_distinct(arr),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + (cnt(arr, t) * cnt(arr, t)).cast("long"),
         )
-    na, nb = _norm(ca), _norm(cb)
+    na2, nb2 = _n2(a), _n2(b)
     return F.when(
-        (na == F.lit(0.0)) | (nb == F.lit(0.0)), F.lit(0.0)
-    ).otherwise(F.round(dot / (na * nb), 4))
+        (na2 == 0) | (nb2 == 0), F.lit(0.0)
+    ).otherwise(F.round(dot / (F.sqrt(na2.cast("double")) * F.sqrt(nb2.cast("double"))), 4))
 
 
 def avg_cfd(preds: Column | str, ignore_o: bool = True) -> Column:
     """A1: avg confidence over array<struct<word,tag,confidence>>.
 
-    ignore-O, empty -> 0.0, round 4 (utils.py:72-88).
+    ignore-O, empty -> 0.0, round 4 (utils.py:72-88). Single-pass fold.
     """
     col = F.col(preds) if isinstance(preds, str) else preds
-    kept = F.filter(col, lambda p: p["tag"] != F.lit("O")) if ignore_o else col
-    total = F.aggregate(
-        kept, F.lit(0.0), lambda acc, p: acc + p["confidence"]
+    zero = F.struct(F.lit(0.0).alias("s"), F.lit(0).alias("n"))
+    keep = (lambda p: p["tag"] != F.lit("O")) if ignore_o else (lambda p: F.lit(True))
+    acc = F.aggregate(
+        col,
+        zero,
+        lambda a, p: F.when(
+            keep(p),
+            F.struct((a["s"] + p["confidence"]).alias("s"), (a["n"] + 1).alias("n")),
+        ).otherwise(a),
     )
-    n = F.size(kept)
-    return F.when(n == 0, F.lit(0.0)).otherwise(F.round(total / n, 4))
+    return F.when(acc["n"] == 0, F.lit(0.0)).otherwise(F.round(acc["s"] / acc["n"], 4))
 
 
 def rename_tags_col(col: Column | str) -> Column:

@@ -56,10 +56,12 @@ def minhash_signature(df: DataFrame, num_hashes: int = 16,
 
 
 def lsh_candidate_pairs(df: DataFrame, bands: int = 4, rows_per_band: int = 4,
-                        key: str = "surface") -> DataFrame:
+                        key: str = "surface", max_bucket: int = 256) -> DataFrame:
     """Band the signature, bucket-join surfaces sharing a band hash.
 
     Output: (a, b) candidate surface pairs with a < b (dedup across bands).
+    Buckets larger than max_bucket are dropped (non-discriminative — see
+    dedup.minhash_lsh_pairs; |B|^2 blow-up guard for power-law surfaces).
     """
     banded = df.select(
         key,
@@ -73,6 +75,11 @@ def lsh_candidate_pairs(df: DataFrame, bands: int = 4, rows_per_band: int = 4,
                 for b in range(bands)
             ])
         ).alias("band", "bucket"),
+    )
+    sizes = banded.groupBy("band", "bucket").count()
+    banded = (
+        banded.join(sizes.filter(F.col("count") <= max_bucket), ["band", "bucket"])
+        .drop("count")
     )
     left = banded.alias("l")
     right = banded.alias("r")

@@ -80,62 +80,90 @@ def vote_mentions(
     Non-teachable, non-unanimous sentences are filtered out (low-confidence
     mention filtering — the engine's whole point).
     """
+    # Performance: the cosine/avg folds are interpreted higher-order
+    # expressions (no codegen). Each is materialized as its OWN column in a
+    # separate projection so it is evaluated exactly once per row —
+    # Catalyst's CollapseProject refuses to inline non-cheap expressions
+    # referenced more than once, which is precisely what we rely on.
+    # Inlining them into the big CASE tree below cost ~12x wall-clock.
+    precomputed = "cos12" in sent_views.columns  # tagging stage fast path
     df = sent_views
     for v in (1, 2, 3):
         p = f"v{v}_preds"
         df = (
             df.withColumn(f"t{v}_tags", F.transform(F.col(p), lambda x: x["tag"]))
             .withColumn(f"t{v}_confs", F.transform(F.col(p), lambda x: x["confidence"]))
-            .withColumn(f"t{v}_cfd", avg_cfd(p))
         )
+    base_cols = ["url", "sent_id", "tokens",
+                 "t1_tags", "t2_tags", "t3_tags",
+                 "t1_confs", "t2_confs", "t3_confs"]
+    if precomputed:
+        df = df.select(*base_cols, "t1_cfd", "t2_cfd", "t3_cfd",
+                       "cos12", "cos23", "cos13")
+    else:
+        df = df.select(
+            *base_cols,
+            avg_cfd("v1_preds").alias("t1_cfd"),
+            avg_cfd("v2_preds").alias("t2_cfd"),
+            avg_cfd("v3_preds").alias("t3_cfd"),
+        )
+        # Teacher-pair cosines on FULL tag lists incl. O (tri_train.py:51-54).
+        df = df.withColumns({
+            "cos12": cosine_tags("t1_tags", "t2_tags"),
+            "cos23": cosine_tags("t2_tags", "t3_tags"),
+            "cos13": cosine_tags("t1_tags", "t3_tags"),
+        })
 
-    rotations = [(1, 2, 3), (2, 3, 1), (1, 3, 2)]  # tri_train.py:148
-    gates, arb_tags, arb_confs, coses = [], [], [], []
-    for (a, b, s) in rotations:
-        ta, tb = F.col(f"t{a}_tags"), F.col(f"t{b}_tags")
-        ca, cb = F.col(f"t{a}_cfd"), F.col(f"t{b}_cfd")
-        cos = cosine_tags(ta, tb)  # FULL lists incl. O (tri_train.py:51-54)
-        gate = (
-            (cos > cos_threshold)
-            & (F.least(ca, cb) > tcfd_threshold)
+    rotations = [  # (teacher_a, teacher_b, student, pair-cosine col)
+        (1, 2, 3, "cos12"), (2, 3, 1, "cos23"), (1, 3, 2, "cos13"),
+    ]  # tri_train.py:148
+    gate_cols = {}
+    for (a, b, s, cos_col) in rotations:
+        gate_cols[f"g{a}{b}"] = (
+            (F.col(cos_col) > cos_threshold)
+            & (F.least(F.col(f"t{a}_cfd"), F.col(f"t{b}_cfd")) > tcfd_threshold)
             & (F.col(f"t{s}_cfd") < scfd_threshold)
         )
-        tags = F.when(ta == tb, ta).when(ca > cb, ta).otherwise(tb)
-        confs = (
-            F.when(ta == tb, F.col(f"t{a}_confs"))
-            .when(ca > cb, F.col(f"t{a}_confs"))
-            .otherwise(F.col(f"t{b}_confs"))
-        )
-        gates.append(gate)
-        arb_tags.append(tags)
-        arb_confs.append(confs)
-        coses.append(cos)
+    df = df.withColumns(gate_cols)
+
+    def arb(col_fmt: str):
+        """C2 per rotation over cheap column refs."""
+        out = None
+        cases = []
+        for (a, b, _s, _c) in rotations:
+            ta, tb = F.col(f"t{a}_tags"), F.col(f"t{b}_tags")
+            ca, cb = F.col(f"t{a}_cfd"), F.col(f"t{b}_cfd")
+            pick = (
+                F.when(ta == tb, F.col(col_fmt.format(a)))
+                .when(ca > cb, F.col(col_fmt.format(a)))
+                .otherwise(F.col(col_fmt.format(b)))
+            )
+            cases.append((F.col(f"g{a}{b}"), pick))
+        return cases
 
     unanimous = (F.col("t1_tags") == F.col("t2_tags")) & (
         F.col("t2_tags") == F.col("t3_tags")
     )
+    g1, g2, g3 = F.col("g12"), F.col("g23"), F.col("g13")
     rule = (
-        F.when(gates[0], F.lit("rot_12_3"))
-        .when(gates[1], F.lit("rot_23_1"))
-        .when(gates[2], F.lit("rot_13_2"))
+        F.when(g1, F.lit("rot_12_3"))
+        .when(g2, F.lit("rot_23_1"))
+        .when(g3, F.lit("rot_13_2"))
         .when(unanimous, F.lit("unanimous"))
     )
-    tags = (
-        F.when(gates[0], arb_tags[0])
-        .when(gates[1], arb_tags[1])
-        .when(gates[2], arb_tags[2])
-        .when(unanimous, F.col("t1_tags"))
-    )
-    confs = (
-        F.when(gates[0], arb_confs[0])
-        .when(gates[1], arb_confs[1])
-        .when(gates[2], arb_confs[2])
-        .when(unanimous, F.col("t1_confs"))
-    )
+
+    def chain(cases, fallback):
+        expr = None
+        for gate, val in cases:
+            expr = F.when(gate, val) if expr is None else expr.when(gate, val)
+        return expr.when(unanimous, fallback)
+
+    tags = chain(arb("t{}_tags"), F.col("t1_tags"))
+    confs = chain(arb("t{}_confs"), F.col("t1_confs"))
     cos_score = (
-        F.when(gates[0], coses[0])
-        .when(gates[1], coses[1])
-        .when(gates[2], coses[2])
+        F.when(g1, F.col("cos12"))
+        .when(g2, F.col("cos23"))
+        .when(g3, F.col("cos13"))
         .when(unanimous, F.lit(1.0))
     )
     return (

@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — one JVM-side zip_with/aggregate dot
+product per (query, candidate) pair, window top-k. Scale path: random-
+hyperplane LSH bucketing — queries only probe their own bucket (and
+optionally neighboring buckets via multi-probe), cutting the candidate
+set by ~2^bits. Hyperplanes are deterministic pseudo-random vectors
+derived from xxhash64(seed, dim_index) so every executor materializes the
+same planes with no broadcast of real data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def _as_double(col):
+    return F.col(col).cast("array<double>") if isinstance(col, str) else col.cast("array<double>")
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = _as_double(vec_col)
+    return df.withColumn("__v", v).withColumn(
+        "__nrm", F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    )
+
+
+def cosine_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Brute-force top-k cosine neighbors for each query vector.
+
+    queries: (query_id, embedding). Small query sets broadcast; the scan
+    over candidates stays partition-parallel with no shuffle until the
+    final per-query top-k window (keyed by query_id — uniform).
+    Output: query_id, vec_id, rank, cosine(round 4).
+    """
+    c = with_norm(candidates, vec_col).select(id_col, "__v", "__nrm")
+    q = with_norm(queries, vec_col).select(
+        F.col(query_id_col), F.col("__v").alias("__qv"), F.col("__nrm").alias("__qn")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("__qv"), lambda x, y: x * y),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    cos = F.when((F.col("__nrm") == 0) | (F.col("__qn") == 0), F.lit(0.0)).otherwise(
+        dot / (F.col("__nrm") * F.col("__qn"))
+    )
+    scored = c.crossJoin(F.broadcast(q)).withColumn("cosine", cos)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def _plane_component(plane: int, dim: int, seed: int) -> F.Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1)."""
+    h = F.xxhash64(F.lit(seed), F.lit(plane), F.lit(dim))
+    return (h.cast("double") / F.lit(float(2**63))).cast("double")
+
+
+def hyperplane_signature(df: DataFrame, dim: int, bits: int = 8,
+                         vec_col: str = "embedding", seed: int = 42) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector (sign pattern of dots)."""
+    v = _as_double(vec_col)
+    bit_vals = []
+    for p in range(bits):
+        dot = None
+        for d in range(dim):
+            term = F.element_at(v, d + 1) * _plane_component(p, d, seed)
+            dot = term if dot is None else dot + term
+        bit_vals.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    bucket = bit_vals[0]
+    for b in bit_vals[1:]:
+        bucket = bucket + b
+    return df.withColumn("bucket", bucket.cast("int"))
+
+
+def lsh_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: probe only the query's hyperplane bucket.
+
+    Recall < 1.0 by design; raise `bits` for smaller buckets (faster,
+    lower recall) or lower it for the reverse. Multi-probe (flipping the
+    lowest-margin bits) is the standard extension — TODO hook.
+    """
+    cb = hyperplane_signature(candidates, dim, bits, vec_col, seed)
+    qb = hyperplane_signature(queries, dim, bits, vec_col, seed).withColumnRenamed(
+        "bucket", "qbucket"
+    )
+    c = with_norm(cb, vec_col).select(id_col, "bucket", "__v", "__nrm")
+    q = with_norm(qb, vec_col).select(
+        query_id_col, "qbucket", F.col("__v").alias("__qv"), F.col("__nrm").alias("__qn")
+    )
+    joined = c.join(F.broadcast(q), c["bucket"] == q["qbucket"])
+    dot = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("__qv"), lambda x, y: x * y),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    cos = F.when((F.col("__nrm") == 0) | (F.col("__qn") == 0), F.lit(0.0)).otherwise(
+        dot / (F.col("__nrm") * F.col("__qn"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        joined.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", F.round("cosine", 4).alias("cosine"))
+    )

@@ -33,7 +33,9 @@ from ..sources.corpus import CONTEXT_CUES, ORG_SUFFIX, _stable_conf
 PRED_FIELDS = "array<struct<word:string,tag:string,confidence:double>>"
 SENT_VIEWS_SCHEMA = (
     "url string, sent_id bigint, tokens array<string>, "
-    f"v1_preds {PRED_FIELDS}, v2_preds {PRED_FIELDS}, v3_preds {PRED_FIELDS}"
+    f"v1_preds {PRED_FIELDS}, v2_preds {PRED_FIELDS}, v3_preds {PRED_FIELDS}, "
+    "t1_cfd double, t2_cfd double, t3_cfd double, "
+    "cos12 double, cos23 double, cos13 double"
 )
 
 _RESOURCES: list[dict] | None = None
@@ -133,19 +135,37 @@ def tag_sentences_df(sentences: DataFrame) -> DataFrame:
     per view (the reference's predict.py:113 invariant).
     """
 
+    from ..functions.simfn import avg_confident_score, cosine_similarity
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         _resources()  # build once per worker
         for pdf in batches:
             toks, v1, v2, v3 = [], [], [], []
+            cfds: list[list[float]] = [[], [], []]
+            coses: list[list[float]] = [[], [], []]
             for text in pdf["text"]:
                 t, a, b, c = tag_all_views(text)
                 toks.append(t)
                 v1.append(a)
                 v2.append(b)
                 v3.append(c)
+                # Precompute the vote's hot scalars with the SAME shared
+                # functions the oracle uses (utils.py:51-88 semantics) —
+                # the SQL fallback in vote_mentions computes identical
+                # values, ~10x slower (interpreted higher-order exprs).
+                for i, preds in enumerate((a, b, c)):
+                    cfds[i].append(avg_confident_score(preds, ignore_o=True))
+                ta = [p["tag"] for p in a]
+                tb = [p["tag"] for p in b]
+                tc = [p["tag"] for p in c]
+                coses[0].append(cosine_similarity(ta, tb))
+                coses[1].append(cosine_similarity(tb, tc))
+                coses[2].append(cosine_similarity(ta, tc))
             yield pd.DataFrame({
                 "url": pdf["url"], "sent_id": pdf["sent_id"], "tokens": toks,
                 "v1_preds": v1, "v2_preds": v2, "v3_preds": v3,
+                "t1_cfd": cfds[0], "t2_cfd": cfds[1], "t3_cfd": cfds[2],
+                "cos12": coses[0], "cos23": coses[1], "cos13": coses[2],
             })
 
     return sentences.select("url", "sent_id", "text").mapInPandas(run, SENT_VIEWS_SCHEMA)

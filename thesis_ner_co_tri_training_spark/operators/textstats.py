@@ -1,0 +1,123 @@
+"""Text analysis for training-data curation: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure built-in expressions (one narrow projection, no shuffle, no
+Python) — these run as map-side columns over a 100 TB scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lexicons (n-gram heuristic class; public
+# common-word lists). Deliberately small — the operator shape is the
+# point; swap lexicons freely.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that",
+           "with", "for", "on", "are", "as"],
+    "de": ["der", "die", "das", "und", "ist", "ich", "nicht", "mit", "ein",
+           "eine", "zu", "den", "von", "für", "auf"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "es", "los",
+           "se", "del", "las", "por", "con"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est", "un", "une", "du",
+           "que", "qui", "dans", "pour", "pas"],
+}
+
+_WORD_SPLIT = r"\s+"
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    return F.split(F.trim(F.lower(F.col(text_col))), _WORD_SPLIT)
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n_tokens (whitespace), n_distinct_tokens, n_bpe_ish (regex splits
+    that approximate sub-word boundaries: runs of letters OR digits OR a
+    single other symbol — a BPE-ish upper bound)."""
+    toks = tokens_col(text_col)
+    bpe_ish = F.size(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"(?U)(?<=\W)|(?=\W)|(?<=\d)(?=\D)|(?<=\D)(?=\d)"),
+            lambda t: F.trim(t) != "",
+        )
+    )
+    return df.withColumns({
+        "n_tokens": F.size(F.filter(toks, lambda t: t != "")),
+        "n_distinct_tokens": F.size(F.array_distinct(F.filter(toks, lambda t: t != ""))),
+        "n_bpe_ish": bpe_ish,
+        "n_chars_measured": F.length(text_col),
+    })
+
+
+def stopword_ratios(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One ratio column per language: fraction of tokens in that
+    language's stopword list (round 4)."""
+    toks = F.filter(tokens_col(text_col), lambda t: t != "")
+    out = df
+    for lang, words in STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        ratio = F.when(F.size(toks) == 0, 0.0).otherwise(
+            F.size(F.filter(toks, lambda t: F.array_contains(arr, t))) / F.size(toks)
+        )
+        out = out.withColumn(f"sw_{lang}", F.round(ratio, 4))
+    return out
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax stopword ratio, 'und' (undetermined)
+    when every ratio is 0."""
+    scored = stopword_ratios(df, text_col)
+    langs = list(STOPWORDS)
+    pairs = F.array(*[
+        F.struct(F.col(f"sw_{l}").alias("score"), F.lit(l).alias("lang"))
+        for l in langs
+    ])
+    best = F.array_max(pairs)  # struct compare: score first, then lang
+    return scored.withColumn(
+        "lang_pred",
+        F.when(best["score"] <= 0.0, F.lit("und")).otherwise(best["lang"]),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0,1] from cheap signals (round 4):
+
+      length_score   saturating n_tokens/100
+      alpha_ratio    alphabetic chars / all non-space chars
+      stop_score     saturating max-stopword-ratio/0.3
+      repeat_penalty distinct/total tokens
+
+    score = round((length + alpha + stop + distinct) / 4, 4)
+    """
+    d = token_counts(df, text_col)
+    d = language_id(d, text_col)
+    alpha = F.length(F.regexp_replace(F.col(text_col), r"(?U)[^\p{L}]", ""))
+    nonspace = F.length(F.regexp_replace(F.col(text_col), r"(?U)\s", ""))
+    alpha_ratio = F.when(nonspace == 0, 0.0).otherwise(alpha / nonspace)
+    length_score = F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+    langs = list(STOPWORDS)
+    max_sw = F.greatest(*[F.col(f"sw_{l}") for l in langs])
+    stop_score = F.least(max_sw / F.lit(0.3), F.lit(1.0))
+    distinct_ratio = F.when(F.col("n_tokens") == 0, 0.0).otherwise(
+        F.col("n_distinct_tokens") / F.col("n_tokens")
+    )
+    return d.withColumn(
+        "quality",
+        F.round((length_score + alpha_ratio + stop_score + distinct_ratio) / 4, 4),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                head_chars: int = 64) -> DataFrame:
+    """Two document fingerprints:
+
+      fp_head   md5 of the first `head_chars` normalized chars (cheap
+                clustering key for boilerplate detection)
+      fp_full   md5 of the full normalized text (exact-dup key)
+    """
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return df.withColumns({
+        "fp_head": F.md5(F.substring(norm, 1, head_chars)),
+        "fp_full": F.md5(norm),
+    })
