@@ -58,23 +58,27 @@ def main() -> int:
 
     # KG pipeline throughput: pages -> sentences -> tagging -> vote ->
     # mentions + triples (no disk writes; measures the compute DAG).
+    from pyspark.sql import functions as F
+
     from thesis_ner_co_tri_training_spark.operators.mentions import (
-        mentions_table, vote_mentions)
-    from thesis_ner_co_tri_training_spark.operators.tagging import (
-        explode_sentences, tag_sentences_df)
-    from thesis_ner_co_tri_training_spark.operators.triples import extract_triples
+        spans_expr, vote_mentions)
+    from thesis_ner_co_tri_training_spark.operators.tagging import tag_pages_df
+    from thesis_ner_co_tri_training_spark.operators.triples import triples_from_spans
     from thesis_ner_co_tri_training_spark.sources.pages import gen_pages_df
 
     pages = gen_pages_df(spark, KG_PAGES).cache()
     pages.count()  # materialize input outside the timed section
     t0 = time.time()
-    voted = vote_mentions(tag_sentences_df(explode_sentences(pages.drop("text"))))
-    voted = voted.cache()
-    n_m = mentions_table(voted).count()
-    n_t = extract_triples(voted).count()
+    voted = vote_mentions(tag_pages_df(pages.drop("text")))
+    row = (
+        voted.withColumn("ms", spans_expr("tags", "confs"))
+        .agg(F.sum(F.size("ms")).alias("nm"),
+             F.sum(F.size(triples_from_spans("tokens", "ms"))).alias("nt"))
+        .collect()[0]
+    )
+    n_m, n_t = int(row["nm"]), int(row["nt"])
     kg_sec = round(time.time() - t0, 3)
     timings[f"kg_pipeline_{KG_PAGES}"] = kg_sec
-    voted.unpersist()
     pages.unpersist()
 
     total = round(sum(timings.values()), 3)

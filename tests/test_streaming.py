@@ -1,0 +1,96 @@
+"""Structured-Streaming path: incremental pages -> mentions parity with
+batch, watermarked windowed rates, exactly-once file sink + restart."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from thesis_ner_co_tri_training_spark.operators.mentions import (
+    mentions_table, vote_mentions)
+from thesis_ner_co_tri_training_spark.operators.tagging import (
+    explode_sentences, tag_sentences_df)
+from thesis_ner_co_tri_training_spark.sources.pages import gen_pages_df
+from thesis_ner_co_tri_training_spark.streaming import (
+    mention_rates_stream, mentions_stream, read_pages_stream,
+    start_mentions_sink)
+
+N_PAGES = 24
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pages_stream"))
+    # two "crawl arrivals" land as separate file batches
+    gen_pages_df(spark, N_PAGES // 2, partitions=2).write.mode("append").parquet(d)
+    df2 = gen_pages_df(spark, N_PAGES, partitions=2).filter(
+        F.col("url").isNotNull()
+    )
+    # second half of the id range only (urls are deterministic per id)
+    first = {r["url"] for r in gen_pages_df(spark, N_PAGES // 2, partitions=2)
+             .select("url").collect()}
+    df2.filter(~F.col("url").isin(list(first))).write.mode("append").parquet(d)
+    return d
+
+
+def _batch_mentions(spark):
+    pages = gen_pages_df(spark, N_PAGES, partitions=2)
+    voted = vote_mentions(tag_sentences_df(explode_sentences(pages.drop("text"))))
+    return mentions_table(voted)
+
+
+def test_stream_matches_batch(spark, pages_dir, tmp_path):
+    stream = mentions_stream(read_pages_stream(spark, pages_dir))
+    assert stream.isStreaming
+    q = (stream.writeStream.format("memory").queryName("m_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {
+        (r["url"], r["sent_id"], r["beg"], r["end"], r["surface"], r["tag"])
+        for r in spark.sql("select * from m_stream").collect()
+    }
+    want = {
+        (r["url"], r["sent_id"], r["beg"], r["end"], r["surface"], r["tag"])
+        for r in _batch_mentions(spark).collect()
+    }
+    assert want
+    assert got == want
+    # event time must survive the Arrow passthrough
+    nulls = spark.sql("select * from m_stream where warc_ts is null").count()
+    assert nulls == 0
+
+
+def test_windowed_rates_with_watermark(spark, pages_dir):
+    # synthetic warc_ts spans ~1h at this page count -> minute windows;
+    # one file per trigger so the watermark advances across micro-batches
+    # and closes early windows (append mode emits only closed windows)
+    rates = mention_rates_stream(
+        mentions_stream(read_pages_stream(spark, pages_dir,
+                                          max_files_per_trigger=1)),
+        window="1 minute", watermark="0 seconds",
+    )
+    q = (rates.writeStream.format("memory").queryName("m_rates")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from m_rates").collect()
+    # synthetic warc_ts spreads over hours -> at least one closed window
+    assert rows
+    for r in rows:
+        assert r["n_mentions"] >= 1 and r["window_end"] > r["window_start"]
+
+
+def test_file_sink_exactly_once_on_restart(spark, pages_dir, tmp_path):
+    out = str(tmp_path / "mentions_out")
+    ckpt = str(tmp_path / "ckpt")
+    s = mentions_stream(read_pages_stream(spark, pages_dir))
+    q = start_mentions_sink(s, out, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+
+    # restart against the same checkpoint: no new input -> no duplicates
+    q2 = start_mentions_sink(
+        mentions_stream(read_pages_stream(spark, pages_dir)), out, ckpt)
+    q2.awaitTermination(120)
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2 > 0

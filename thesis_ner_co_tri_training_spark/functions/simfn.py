@@ -67,6 +67,22 @@ def avg_confident_score(preds: list[dict], ignore_o: bool = True) -> float:
     return round(avg, 4)
 
 
+def avg_confident_score_flat(tags: list[str], confs: list[float],
+                             ignore_o: bool = True) -> float:
+    """avg_confident_score over parallel (tags, confs) arrays — identical
+    arithmetic (sum/len then one round-4), array form for the flat
+    tagging path."""
+    if ignore_o:
+        scores = [c for t, c in zip(tags, confs) if t != "O"]
+    else:
+        scores = list(confs)
+    try:
+        avg = sum(scores) / len(scores)
+    except ZeroDivisionError:
+        avg = 0
+    return round(avg, 4)
+
+
 def rename_tags(text: str) -> str:
     """Oracle for the ordered rename chain."""
     import re

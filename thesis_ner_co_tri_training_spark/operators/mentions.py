@@ -87,14 +87,16 @@ def vote_mentions(
     # referenced more than once, which is precisely what we rely on.
     # Inlining them into the big CASE tree below cost ~12x wall-clock.
     precomputed = "cos12" in sent_views.columns  # tagging stage fast path
+    extras = [c for c in ("warc_ts",) if c in sent_views.columns]
     df = sent_views
-    for v in (1, 2, 3):
-        p = f"v{v}_preds"
-        df = (
-            df.withColumn(f"t{v}_tags", F.transform(F.col(p), lambda x: x["tag"]))
-            .withColumn(f"t{v}_confs", F.transform(F.col(p), lambda x: x["confidence"]))
-        )
-    base_cols = ["url", "sent_id", "tokens",
+    if "t1_tags" not in df.columns:  # struct form -> flat columns
+        for v in (1, 2, 3):
+            p = f"v{v}_preds"
+            df = (
+                df.withColumn(f"t{v}_tags", F.transform(F.col(p), lambda x: x["tag"]))
+                .withColumn(f"t{v}_confs", F.transform(F.col(p), lambda x: x["confidence"]))
+            )
+    base_cols = ["url", "sent_id", *extras, "tokens",
                  "t1_tags", "t2_tags", "t3_tags",
                  "t1_confs", "t2_confs", "t3_confs"]
     if precomputed:
@@ -172,7 +174,7 @@ def vote_mentions(
         .withColumn("confs", confs)
         .withColumn("cos_score", cos_score)
         .filter(F.col("selection_rule").isNotNull())
-        .select("url", "sent_id", "tokens", "tags", "confs",
+        .select("url", "sent_id", *extras, "tokens", "tags", "confs",
                 "selection_rule", "cos_score")
     )
 
@@ -182,10 +184,12 @@ def mentions_table(voted: DataFrame) -> DataFrame:
 
     url, sent_id, beg, end, surface, tag, confidence — FIXTURES.md §4 shape.
     """
+    extras = [c for c in ("warc_ts",) if c in voted.columns]
     spans = voted.withColumn("span", F.explode(spans_expr("tags", "confs")))
     return spans.select(
         "url",
         "sent_id",
+        *extras,
         F.col("span.beg").alias("beg"),
         F.col("span.end").alias("end"),
         F.concat_ws(

@@ -153,3 +153,19 @@ def bootstrap_views(df: DataFrame, fraction: float = 0.7,
                     seeds: tuple[int, int, int] = (1, 2, 3)) -> list[DataFrame]:
     """R2: three bootstrap subsamples with replacement (utils.py:116-134)."""
     return [df.sample(withReplacement=True, fraction=fraction, seed=s) for s in seeds]
+
+
+def extend_labeled(labeled: DataFrame, ext: DataFrame,
+                   keys: list[str] | None = None) -> DataFrame:
+    """U1/U2 + J3: extend the labeled set, excluding rows already in it.
+
+    Reference: `sentences + ext_sents` unions (run_ner.py:89-93, 303-324)
+    with the `item not in ori_train` anti-scan (hack_single_tag.py:36,
+    an O(n*m) list walk) -> unionByName after a left_anti join on `keys`
+    (default: all common columns). The anti-join side is the extension
+    (small); AQE broadcasts it when it fits.
+    """
+    if keys is None:
+        keys = [c for c in ext.columns if c in set(labeled.columns)]
+    fresh = ext.join(labeled.select(*keys).distinct(), keys, "left_anti")
+    return labeled.unionByName(fresh, allowMissingColumns=False)

@@ -37,6 +37,17 @@ SENT_VIEWS_SCHEMA = (
     "t1_cfd double, t2_cfd double, t3_cfd double, "
     "cos12 double, cos23 double, cos13 double"
 )
+# Flat form: parallel tags/confs arrays instead of array<struct> records.
+# Same information (word == tokens[i]), but ~40% smaller Arrow payload and
+# no per-element dict boxing on either side of the socket — the hot-path
+# schema for the fused page tagger.
+SENT_VIEWS_FLAT_SCHEMA = (
+    "url string, sent_id bigint, tokens array<string>, "
+    "t1_tags array<string>, t2_tags array<string>, t3_tags array<string>, "
+    "t1_confs array<double>, t2_confs array<double>, t3_confs array<double>, "
+    "t1_cfd double, t2_cfd double, t3_cfd double, "
+    "cos12 double, cos23 double, cos13 double"
+)
 
 _RESOURCES: list[dict] | None = None
 _ORG_SUFFIX_SET = set(ORG_SUFFIX)
@@ -54,73 +65,84 @@ def _o_conf(word: str) -> float:
     return _stable_conf(f"o|{word}", 0.05, 0.45)
 
 
-def _gaz_match(tokens: list[str], gaz: dict, out: list[dict | None]) -> None:
+def _gaz_match(tokens: list[str], gaz: dict, tags: list[str | None],
+               confs: list[float]) -> None:
     """Greedy longest-match (3..1 tokens) gazetteer scan, BIO emission."""
     i, n = 0, len(tokens)
     while i < n:
-        if out[i] is not None:
+        if tags[i] is not None:
             i += 1
             continue
         hit = None
         for span in (3, 2, 1):
-            if i + span <= n and all(out[j] is None for j in range(i, i + span)):
+            if i + span <= n and all(tags[j] is None for j in range(i, i + span)):
                 surf = " ".join(t.lower() for t in tokens[i:i + span])
                 if surf in gaz:
                     hit = (span, *gaz[surf])
                     break
         if hit:
             span, tag, conf = hit
-            out[i] = {"word": tokens[i], "tag": f"B-{tag}", "confidence": conf}
+            tags[i], confs[i] = f"B-{tag}", conf
             for j in range(i + 1, i + span):
-                out[j] = {"word": tokens[j], "tag": f"I-{tag}", "confidence": conf}
+                tags[j], confs[j] = f"I-{tag}", conf
             i += span
         else:
             i += 1
 
 
-def tag_sentence(text: str, view_id: int) -> list[dict]:
-    """Pure per-sentence tagger for one view — shared by engine and oracle.
+def tag_tokens_flat(tokens: list[str], view_id: int) -> tuple[list[str], list[float]]:
+    """Flat core tagger: pre-tokenized sentence -> (tags, confs) arrays.
 
     view 1: gazetteer only.
     view 2: gazetteer subset 2 + pattern rules (4-digit year -> DATE,
             digits -> CARDINAL, org suffix -> ORG).
     view 3: gazetteer subset 3 + context cues (previous token).
     """
-    norm = strip_punct(text)
-    tokens = tokenize(norm)
-    out: list[dict | None] = [None] * len(tokens)
+    n = len(tokens)
+    tags: list[str | None] = [None] * n
+    confs: list[float] = [0.0] * n
     gaz = _resources()[view_id - 1]
-    _gaz_match(tokens, gaz, out)
+    _gaz_match(tokens, gaz, tags, confs)
 
     if view_id == 2:
         for i, tok in enumerate(tokens):
-            if out[i] is not None:
+            if tags[i] is not None:
                 continue
             low = tok.lower()
             if low.isdigit() and len(low) == 4 and 1900 <= int(low) <= 2099:
-                out[i] = {"word": tok, "tag": "B-DATE",
-                          "confidence": _stable_conf(f"v2|date|{low}")}
+                tags[i], confs[i] = "B-DATE", _stable_conf(f"v2|date|{low}")
             elif low.isdigit():
-                out[i] = {"word": tok, "tag": "B-CARDINAL",
-                          "confidence": _stable_conf(f"v2|card|{low}")}
+                tags[i], confs[i] = "B-CARDINAL", _stable_conf(f"v2|card|{low}")
             elif low in _ORG_SUFFIX_SET:
-                out[i] = {"word": tok, "tag": "B-ORG",
-                          "confidence": _stable_conf(f"v2|org|{low}")}
+                tags[i], confs[i] = "B-ORG", _stable_conf(f"v2|org|{low}")
     elif view_id == 3:
         for i, tok in enumerate(tokens):
-            if out[i] is not None or i == 0:
+            if tags[i] is not None or i == 0:
                 continue
             prev = tokens[i - 1].lower()
             low = tok.lower()
             cue_tag = CONTEXT_CUES.get(prev)
             if cue_tag and low not in _FILLER_SET and not low.isdigit():
-                out[i] = {"word": tok, "tag": f"B-{cue_tag}",
-                          "confidence": _stable_conf(f"v3|ctx|{prev}|{low}")}
+                tags[i], confs[i] = f"B-{cue_tag}", _stable_conf(f"v3|ctx|{prev}|{low}")
 
     for i, tok in enumerate(tokens):
-        if out[i] is None:
-            out[i] = {"word": tok, "tag": "O", "confidence": _o_conf(tok.lower())}
-    return out  # type: ignore[return-value]
+        if tags[i] is None:
+            tags[i], confs[i] = "O", _o_conf(tok.lower())
+    return tags, confs  # type: ignore[return-value]
+
+
+def tag_sentence(text: str, view_id: int) -> list[dict]:
+    """Per-sentence tagger, reference record shape (predict.py:114).
+
+    Thin wrapper over the flat core — engine and oracle share ONE
+    implementation, so parity holds by construction.
+    """
+    tokens = tokenize(strip_punct(text))
+    tags, confs = tag_tokens_flat(tokens, view_id)
+    return [
+        {"word": w, "tag": t, "confidence": c}
+        for w, t, c in zip(tokens, tags, confs)
+    ]
 
 
 def tag_all_views(text: str) -> tuple[list[str], list[dict], list[dict], list[dict]]:
@@ -128,14 +150,30 @@ def tag_all_views(text: str) -> tuple[list[str], list[dict], list[dict], list[di
     return (tokens, tag_sentence(text, 1), tag_sentence(text, 2), tag_sentence(text, 3))
 
 
-def tag_sentences_df(sentences: DataFrame) -> DataFrame:
+def tag_all_views_flat(text: str):
+    """(tokens, [(tags_i, confs_i)] x3) — flat arrays, one tokenization."""
+    tokens = tokenize(strip_punct(text))
+    return tokens, [tag_tokens_flat(tokens, v) for v in (1, 2, 3)]
+
+
+def tag_sentences_df(sentences: DataFrame, passthrough: list[str] | None = None) -> DataFrame:
     """(url, sent_id, text) -> (url, sent_id, tokens, v1/v2/v3_preds).
 
     Single Arrow-vectorized stage; preserves size(tokens) == size(preds)
     per view (the reference's predict.py:113 invariant).
+
+    `passthrough` columns (e.g. warc_ts for streaming event time) ride
+    through the Arrow batch unchanged — keeps the streaming path free of
+    stateful stream-stream rejoins.
     """
 
     from ..functions.simfn import avg_confident_score, cosine_similarity
+
+    passthrough = passthrough or []
+    extra_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in sentences.schema.fields if f.name in passthrough
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         _resources()  # build once per worker
@@ -161,14 +199,79 @@ def tag_sentences_df(sentences: DataFrame) -> DataFrame:
                 coses[0].append(cosine_similarity(ta, tb))
                 coses[1].append(cosine_similarity(tb, tc))
                 coses[2].append(cosine_similarity(ta, tc))
-            yield pd.DataFrame({
+            out = {
                 "url": pdf["url"], "sent_id": pdf["sent_id"], "tokens": toks,
                 "v1_preds": v1, "v2_preds": v2, "v3_preds": v3,
                 "t1_cfd": cfds[0], "t2_cfd": cfds[1], "t3_cfd": cfds[2],
                 "cos12": coses[0], "cos23": coses[1], "cos13": coses[2],
-            })
+            }
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return sentences.select("url", "sent_id", "text").mapInPandas(run, SENT_VIEWS_SCHEMA)
+    return sentences.select("url", "sent_id", "text", *passthrough).mapInPandas(
+        run, SENT_VIEWS_SCHEMA + extra_schema
+    )
+
+
+def tag_pages_df(pages: DataFrame, passthrough: list[str] | None = None) -> DataFrame:
+    """pages (url, html|text, ...) -> sent_views in ONE Arrow pass.
+
+    Fuses extract_text -> split_sentences -> tri-view tagging into a
+    single mapInPandas stage. Semantically identical to
+    tag_sentences_df(explode_sentences(pages)) — asserted by the
+    streaming-vs-batch parity test — but with one Python runner instead
+    of a chain of two/three: a narrow task otherwise pipelines through
+    every chained Python stage concurrently (each its own worker process
+    + two Arrow socket hops), which at high core counts multiplies
+    processes and kernel socket work ~3x for zero algorithmic gain. At
+    cluster scale the fusion also removes two full serialize/deserialize
+    round-trips of the sentence corpus per task.
+    """
+    from ..functions.simfn import avg_confident_score_flat, cosine_similarity
+    from ..functions.textnorm import extract_text, split_sentences
+
+    passthrough = passthrough or []
+    has_text = "text" in pages.columns
+    in_cols = ["url", "text" if has_text else "html", *passthrough]
+    extra_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in pages.schema.fields if f.name in passthrough
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _resources()
+        for pdf in batches:
+            out: dict[str, list] = {
+                "url": [], "sent_id": [], "tokens": [],
+                "t1_tags": [], "t2_tags": [], "t3_tags": [],
+                "t1_confs": [], "t2_confs": [], "t3_confs": [],
+                "t1_cfd": [], "t2_cfd": [], "t3_cfd": [],
+                "cos12": [], "cos23": [], "cos13": [],
+                **{c: [] for c in passthrough},
+            }
+            src = pdf["text"] if has_text else pdf["html"]
+            for row_i, (url, payload) in enumerate(zip(pdf["url"], src)):
+                text = payload if has_text else extract_text(payload)
+                for sent_id, sent in enumerate(split_sentences(text)):
+                    toks, views = tag_all_views_flat(sent)
+                    out["url"].append(url)
+                    out["sent_id"].append(sent_id)
+                    out["tokens"].append(toks)
+                    for v, (tags, confs) in enumerate(views, start=1):
+                        out[f"t{v}_tags"].append(tags)
+                        out[f"t{v}_confs"].append(confs)
+                        out[f"t{v}_cfd"].append(
+                            avg_confident_score_flat(tags, confs, ignore_o=True)
+                        )
+                    out["cos12"].append(cosine_similarity(views[0][0], views[1][0]))
+                    out["cos23"].append(cosine_similarity(views[1][0], views[2][0]))
+                    out["cos13"].append(cosine_similarity(views[0][0], views[2][0]))
+                    for col in passthrough:
+                        out[col].append(pdf[col].iloc[row_i])
+            yield pd.DataFrame(out)
+
+    return pages.select(*in_cols).mapInPandas(run, SENT_VIEWS_FLAT_SCHEMA + extra_schema)
 
 
 def explode_sentences(pages: DataFrame) -> DataFrame:

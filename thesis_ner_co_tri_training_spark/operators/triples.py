@@ -21,45 +21,49 @@ from pyspark.sql import functions as F
 from ..sources.corpus import CUES
 
 
+def triples_from_spans(tokens_col: str = "tokens", ms_col: str = "ms",
+                       cues: list[str] | None = None):
+    """Per-row array<struct<subj,pred,obj,confidence>> expression.
+
+    Pure nested HOFs (no explode, no shuffle) so callers can either
+    explode it into the triples table or aggregate over its size in the
+    same pass that evaluates the mention spans — one evaluation of the
+    span fold serves both outputs.
+    """
+    if cues is None:
+        cues = CUES
+    cues_arr = "array(" + ",".join(f"'{c}'" for c in cues) + ")"
+    gap = (
+        f"slice({tokens_col}, m1.end + 1, greatest(m2.beg - m1.end, 0))"
+    )
+    return F.expr(f"""filter(
+        flatten(transform({ms_col}, (m1, i) ->
+            transform(slice({ms_col}, i + 2, greatest(size({ms_col}) - i - 1, 0)), m2 ->
+                named_struct(
+                    'subj', array_join(slice({tokens_col}, m1.beg + 1, m1.end - m1.beg), ' '),
+                    'pred', lower(try_element_at(
+                        filter({gap}, t -> array_contains({cues_arr}, lower(t))), 1)),
+                    'obj', array_join(slice({tokens_col}, m2.beg + 1, m2.end - m2.beg), ' '),
+                    'confidence', round(least(m1.conf, m2.conf), 4))))),
+        tr -> tr.pred IS NOT NULL)""")
+
+
 def extract_triples(voted: DataFrame, cues: list[str] | None = None) -> DataFrame:
     """voted (url, sent_id, tokens, tags, confs) -> triples table.
 
     Output: subj, pred, obj, url, sent_id, confidence.
     """
-    if cues is None:
-        cues = CUES
     from .mentions import spans_expr
 
-    df = voted.withColumn("ms", spans_expr("tags", "confs"))
-    # Ordered pairs (i < j) of spans, JVM-side.
-    pairs = F.expr(
-        "flatten(transform(ms, (m1, i) -> "
-        "transform(slice(ms, i + 2, greatest(size(ms) - i - 1, 0)), "
-        "m2 -> named_struct('m1', m1, 'm2', m2))))"
-    )
-    cues_arr = F.array(*[F.lit(c) for c in cues])
-    df = (
-        df.withColumn("pair", F.explode(pairs))
-        .withColumn(
-            "gap",
-            F.slice(
-                F.col("tokens"),
-                F.col("pair.m1.end") + 1,
-                F.greatest(F.col("pair.m2.beg") - F.col("pair.m1.end"), F.lit(0)),
-            ),
+    return (
+        voted.withColumn("ms", spans_expr("tags", "confs"))
+        .withColumn("tr", F.explode(triples_from_spans("tokens", "ms", cues)))
+        .select(
+            F.col("tr.subj").alias("subj"),
+            F.col("tr.pred").alias("pred"),
+            F.col("tr.obj").alias("obj"),
+            "url",
+            "sent_id",
+            F.col("tr.confidence").alias("confidence"),
         )
-        .withColumn("cue_hits", F.filter("gap", lambda t: F.array_contains(cues_arr, F.lower(t))))
-        .filter(F.size("cue_hits") > 0)
-    )
-    surface = lambda m: F.concat_ws(
-        " ", F.slice(F.col("tokens"), F.col(f"pair.{m}.beg") + 1,
-                     F.col(f"pair.{m}.end") - F.col(f"pair.{m}.beg"))
-    )
-    return df.select(
-        surface("m1").alias("subj"),
-        F.lower(F.element_at("cue_hits", 1)).alias("pred"),
-        surface("m2").alias("obj"),
-        "url",
-        "sent_id",
-        F.round(F.least(F.col("pair.m1.conf"), F.col("pair.m2.conf")), 4).alias("confidence"),
     )

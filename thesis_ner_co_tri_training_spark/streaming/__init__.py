@@ -1,0 +1,6 @@
+from .ingest import (  # noqa: F401
+    mention_rates_stream,
+    mentions_stream,
+    read_pages_stream,
+    start_mentions_sink,
+)

@@ -1,0 +1,103 @@
+"""Structured-Streaming ingestion: incremental pages -> mentions.
+
+The reference is batch-only, but its pool-by-pool consumption of an
+unlabeled corpus (co_training.py:84-89 — "take the next chunk of u
+sentences, select, extend") is exactly a micro-batch pattern: each
+arriving batch of crawled pages flows through the SAME narrow operators
+as the batch DAG (extract_text -> sentences -> tri-view tagging ->
+agreement vote -> mentions), so batch and streaming share one code path
+and one set of semantics. Streaming-specific pieces here:
+
+  - file-source ingestion of new parquet page files (`readStream`), the
+    Spark-idiomatic stand-in for a crawl feed / Iceberg incremental scan,
+  - event-time windowed mention-rate aggregation with a watermark on
+    `warc_ts` for late crawl records,
+  - a parquet sink with Structured Streaming's own checkpointLocation
+    (exactly-once file sink; complements the batch pipeline's
+    per-stage snapshot resume).
+
+At cluster scale the file source lists new files per trigger; with
+maxFilesPerTrigger it back-pressures a 100TB backfill into bounded
+micro-batches while keeping every stage narrow (no shuffle before the
+windowed agg, which is partial-aggregated map-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.mentions import mentions_table, vote_mentions
+from ..operators.tagging import tag_pages_df
+from ..sources.pages import PAGES_SCHEMA
+
+
+def read_pages_stream(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Incremental scan of a growing pages directory (crawl feed)."""
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def mentions_stream(
+    pages: DataFrame,
+    cos_threshold: float = 0.7,
+    tcfd_threshold: float = 0.7,
+    scfd_threshold: float = 0.6,
+) -> DataFrame:
+    """pages stream -> voted mentions stream (all-narrow; no state).
+
+    Output: url, warc_ts, sent_id, beg, end, surface, tag, confidence.
+    """
+    # Single fused Arrow pass (extract -> split -> tag); event time
+    # (warc_ts) threads through as a passthrough column — no stateful
+    # stream-stream rejoin, whole path narrow and shuffle-free.
+    tagged = tag_pages_df(pages.drop("text"), passthrough=["warc_ts"])
+    voted = vote_mentions(tagged, cos_threshold, tcfd_threshold, scfd_threshold)
+    return mentions_table(voted)
+
+
+def mention_rates_stream(
+    mentions: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time windowed mention counts per tag with late-data bound.
+
+    Watermark on warc_ts drops crawl records later than `watermark`;
+    counts partial-aggregate map-side before the single keyed shuffle.
+    """
+    return (
+        mentions.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "tag")
+        .agg(F.count("*").alias("n_mentions"),
+             F.approx_count_distinct("url").alias("n_urls"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "tag", "n_mentions", "n_urls",
+        )
+    )
+
+
+def start_mentions_sink(
+    mentions: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+):
+    """Exactly-once parquet sink with its own streaming checkpoint."""
+    writer = (
+        mentions.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
