@@ -203,6 +203,64 @@ _LONG_OF = {"PER": "PERSON", "ORG": "ORG_RAW", "FAC": "FAC", "ART": "WORK_OF_ART
             "LOC": "LOC", "MISC": "MONEY"}
 
 
+def _q26_sql() -> str:
+    """DuckDB oracle for q26: relational bag-of-tags cosines (q06 pattern)
+    for the 6 needed (view, view)/(view, gold) pairs, then the A3 rates."""
+    pairs = [("1", "2"), ("1", "3"), ("2", "3"),
+             ("1", "g"), ("2", "g"), ("3", "g")]
+    dots = ",\n".join(
+        f"d{a}{b} AS (SELECT x.doc_id, sum(x.cnt * y.cnt) AS dot "
+        f"FROM c{a} x JOIN c{b} y ON x.doc_id = y.doc_id AND x.tag = y.tag "
+        f"GROUP BY x.doc_id)"
+        for a, b in pairs
+    )
+    cos_cols = ",\n".join(
+        f"CASE WHEN nr{a}.n2 IS NULL OR nr{b}.n2 IS NULL OR d{a}{b}.dot IS NULL "
+        f"THEN 0.0 ELSE round(d{a}{b}.dot / (sqrt(nr{a}.n2) * sqrt(nr{b}.n2)), 4) "
+        f"END AS cos{a}{b}"
+        for a, b in pairs
+    )
+    cos_joins = "\n".join(
+        f"LEFT JOIN d{a}{b} ON d{a}{b}.doc_id = d.doc_id" for a, b in pairs
+    )
+    norm_joins = "\n".join(
+        f"LEFT JOIN nr{v} ON nr{v}.doc_id = d.doc_id" for v in ("1", "2", "3", "g")
+    )
+    e_cols = ",\n".join(
+        f"""CASE WHEN sum(CASE WHEN cos{a}{b} >= 0.9 THEN 1 ELSE 0 END) = 0 THEN 0.0
+             ELSE round(CAST(sum(CASE WHEN cos{a}{b} >= 0.9 AND cos{a}g < 0.9
+                                       AND cos{b}g < 0.9 THEN 1 ELSE 0 END) AS DOUBLE)
+                        / sum(CASE WHEN cos{a}{b} >= 0.9 THEN 1 ELSE 0 END), 4)
+             END AS e{a}{b},
+            CAST(sum(CASE WHEN cos{a}{b} >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n{a}{b}"""
+        for a, b in [("1", "2"), ("1", "3"), ("2", "3")]
+    )
+    return f"""
+        WITH {_TOK_CTE},
+        m1 AS (SELECT t.doc_id, g.tag FROM tok t JOIN {_GAZ_SQL} ON t.word = g.word),
+        m2 AS (SELECT t.doc_id, g.tag FROM tok t JOIN {_GAZ_PRED_SQL} ON t.word = g.word),
+        m3 AS (SELECT * FROM m1 WHERE tag <> 'MISC'),
+        mg AS (SELECT * FROM m1 WHERE NOT (doc_id % 5 = 0 AND tag = 'FAC')),
+        c1 AS (SELECT doc_id, tag, count(*) AS cnt FROM m1 GROUP BY 1, 2),
+        c2 AS (SELECT doc_id, tag, count(*) AS cnt FROM m2 GROUP BY 1, 2),
+        c3 AS (SELECT doc_id, tag, count(*) AS cnt FROM m3 GROUP BY 1, 2),
+        cg AS (SELECT doc_id, tag, count(*) AS cnt FROM mg GROUP BY 1, 2),
+        nr1 AS (SELECT doc_id, sum(cnt * cnt) AS n2 FROM c1 GROUP BY 1),
+        nr2 AS (SELECT doc_id, sum(cnt * cnt) AS n2 FROM c2 GROUP BY 1),
+        nr3 AS (SELECT doc_id, sum(cnt * cnt) AS n2 FROM c3 GROUP BY 1),
+        nrg AS (SELECT doc_id, sum(cnt * cnt) AS n2 FROM cg GROUP BY 1),
+        {dots},
+        cosd AS (
+            SELECT d.doc_id,
+            {cos_cols}
+            FROM documents d
+            {norm_joins}
+            {cos_joins}
+        )
+        SELECT {e_cols} FROM cosd
+    """
+
+
 def q07_tag_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5: ordered OntoNotes->ISW rename chain over mention tags."""
     from thesis_ner_co_tri_training_spark.functions.simfn import rename_tags_col
@@ -470,6 +528,44 @@ def q25_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(docs).select("content_hash", "n_docs")
 
 
+def q26_error_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: pairwise tri-view error rates over per-doc tag bags.
+
+    Views: v1 = GAZ, v2 = GAZ_PRED, v3 = GAZ minus MISC; gold = GAZ minus
+    FAC on every 5th doc (deterministic perturbation so wrongness is
+    non-trivial). One row: e12/e13/e23 + agreement counts
+    (tri_train.py:62-112 semantics via operators.tritrain).
+    """
+    from thesis_ner_co_tri_training_spark.operators.tritrain import (
+        pairwise_error_rates_df)
+
+    m1 = _mentions(spark, sf_dir, GAZ)
+    m2 = _mentions(spark, sf_dir, GAZ_PRED)
+    m3 = m1.filter(F.col("tag") != "MISC")
+    mg = m1.filter(~((F.col("doc_id") % 5 == 0) & (F.col("tag") == "FAC")))
+
+    def bags(m: DataFrame, name: str) -> DataFrame:
+        return m.groupBy("doc_id").agg(F.collect_list("tag").alias(name))
+
+    views = _t(spark, sf_dir, "documents").select("doc_id")
+    for m, name in ((m1, "t1_tags"), (m2, "t2_tags"),
+                    (m3, "t3_tags"), (mg, "gold_tags")):
+        views = views.join(bags(m, name), "doc_id", "left").withColumn(
+            name, F.coalesce(F.col(name), F.array().cast("array<string>"))
+        )
+    return pairwise_error_rates_df(views, cos_threshold=0.9, limit=None)
+
+
+def q27_extend_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U2 + J3: extend a labeled set, anti-joining out existing rows."""
+    from thesis_ner_co_tri_training_spark.operators.selection import extend_labeled
+
+    cust = _t(spark, sf_dir, "customer")
+    labeled = cust.filter(F.col("c_custkey") % 3 == 0).select("c_custkey", "c_name")
+    ext = cust.filter(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_name")
+    return extend_labeled(labeled, ext, keys=["c_custkey"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: triple extraction over sf0.001 documents."""
     return q22_triples(spark, "/root/testdata/sf0.001")
@@ -502,6 +598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_prf": q23_prf,
         "q24_supplier_rank": q24_supplier_rank,
         "q25_exact_dedup": q25_exact_dedup,
+        "q26_error_rates": q26_error_rates,
+        "q27_extend_labeled": q27_extend_labeled,
     }
 
 
@@ -832,6 +930,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs
             FROM documents
             GROUP BY 1 HAVING count(*) > 1
+        """,
+        "q26_error_rates": _q26_sql(),
+        "q27_extend_labeled": """
+            SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0
+            UNION ALL
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey % 2 = 0 AND c_custkey % 3 <> 0
         """,
         # q19/q20 intentionally omitted: xxhash64-based (rows-only check).
     }

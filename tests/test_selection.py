@@ -109,3 +109,35 @@ def test_min_tokens(spark):
     df = spark.createDataFrame(
         [(1, ["a"] * 11), (2, ["a"] * 10)], "id long, tokens array<string>")
     assert [r["id"] for r in min_tokens(df, 10).collect()] == [1]
+
+
+def test_single_tag_subset(spark):
+    df = spark.createDataFrame(
+        [(1, ["B-PER", "O"]), (2, ["O"]), (3, ["I-PER", "B-PER"]), (4, ["B-GPE"])],
+        "sent_id long, tags array<string>",
+    )
+    from thesis_ner_co_tri_training_spark.operators.selection import single_tag_subset
+    got = {r["sent_id"] for r in single_tag_subset(df, "PER").collect()}
+    assert got == {1, 3}
+    assert single_tag_subset(df, "PER", fix_len=1).count() == 1
+
+
+def test_train_dev_test_split_partitions_everything(spark):
+    from thesis_ner_co_tri_training_spark.operators.selection import (
+        train_dev_test_split)
+    df = spark.range(1000)
+    parts = train_dev_test_split(df, seed=1)
+    sizes = [p.count() for p in parts]
+    assert sum(sizes) == 1000
+    assert sizes[0] > sizes[1] > sizes[2] > 0
+    # deterministic given the seed
+    again = [p.count() for p in train_dev_test_split(spark.range(1000), seed=1)]
+    assert sizes == again
+
+
+def test_random_draw_deterministic(spark):
+    from thesis_ner_co_tri_training_spark.operators.selection import random_draw
+    df = spark.range(500)
+    a = sorted(r["id"] for r in random_draw(df, 20, seed=7).collect())
+    b = sorted(r["id"] for r in random_draw(spark.range(500), 20, seed=7).collect())
+    assert a == b and len(a) == 20

@@ -1,0 +1,74 @@
+"""Similarity search vs pure-Python oracle (brute force exact; LSH probe)."""
+
+import math
+import random
+
+import pytest
+
+from thesis_ner_co_tri_training_spark.operators.simsearch import (
+    cosine_topk, hyperplane_signature, lsh_topk)
+
+DIM = 8
+
+
+def _vecs(n, seed=7):
+    rng = random.Random(seed)
+    return [(i, [rng.uniform(-1, 1) for _ in range(DIM)]) for i in range(n)]
+
+
+def _cos(u, v):
+    nu = math.sqrt(sum(x * x for x in u))
+    nv = math.sqrt(sum(x * x for x in v))
+    if nu == 0 or nv == 0:
+        return 0.0
+    return sum(x * y for x, y in zip(u, v)) / (nu * nv)
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    cands = _vecs(200)
+    queries = [(0, cands[3][1]), (1, _vecs(2, seed=99)[1][1])]
+    cdf = spark.createDataFrame(cands, "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame(queries, "query_id long, embedding array<double>")
+    return cands, queries, cdf, qdf
+
+
+def test_cosine_topk_matches_oracle(spark, data):
+    cands, queries, cdf, qdf = data
+    got = {}
+    for r in cosine_topk(cdf, qdf, k=5).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cosine"]))
+    for qid, qv in queries:
+        scored = sorted(
+            ((round(_cos(v, qv), 4), i) for i, v in cands),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        want = [(rk + 1, i, c) for rk, (c, i) in enumerate(scored)]
+        assert sorted(got[qid]) == want, qid
+    # self-query: nearest neighbor is the vector itself at cosine 1.0
+    assert got[0][0][1] == 3 and got[0][0][2] == 1.0
+
+
+def test_lsh_topk_subset_with_exact_scores(spark, data):
+    cands, queries, cdf, qdf = data
+    lsh = lsh_topk(cdf, qdf, dim=DIM, k=5, bits=4)
+    rows = lsh.collect()
+    assert rows  # buckets are non-empty for self-queries
+    cvec = dict(cands)
+    qvec = dict(queries)
+    for r in rows:
+        want = round(_cos(cvec[r["vec_id"]], qvec[r["query_id"]]), 4)
+        assert abs(r["cosine"] - want) < 1e-9
+    # the self-query's own vector shares its bucket by construction
+    q0 = [r["vec_id"] for r in rows if r["query_id"] == 0]
+    assert 3 in q0
+
+
+def test_hyperplane_signature_deterministic(spark, data):
+    _, _, cdf, _ = data
+    a = {r["vec_id"]: r["bucket"]
+         for r in hyperplane_signature(cdf, DIM, bits=6).collect()}
+    b = {r["vec_id"]: r["bucket"]
+         for r in hyperplane_signature(cdf, DIM, bits=6).collect()}
+    assert a == b
+    assert all(0 <= v < 64 for v in a.values())

@@ -169,3 +169,23 @@ def extend_labeled(labeled: DataFrame, ext: DataFrame,
         keys = [c for c in ext.columns if c in set(labeled.columns)]
     fresh = ext.join(labeled.select(*keys).distinct(), keys, "left_anti")
     return labeled.unionByName(fresh, allowMissingColumns=False)
+
+
+def single_tag_subset(df: DataFrame, tag: str, fix_len: int | None = None,
+                      tags_col: str = "tags") -> DataFrame:
+    """P3: rows whose label list contains B-<tag>, first fix_len of them
+    (hack_single_tag.py:19,38)."""
+    out = df.filter(F.array_contains(F.col(tags_col), f"B-{tag}"))
+    return out.limit(fix_len) if fix_len else out
+
+
+def train_dev_test_split(df: DataFrame, seed: int = 1) -> list[DataFrame]:
+    """R1: 70/20/10 split (utils.py:34-37; statistically equivalent —
+    randomSplit, not row-identical to sklearn's shuffle)."""
+    return df.randomSplit([0.7, 0.2, 0.1], seed=seed)
+
+
+def random_draw(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
+    """R4: fixed-size uniform draw (hack_exp.py:34,94 `choices(k=n)`;
+    without replacement here — the trials only need a uniform subset)."""
+    return df.orderBy(F.rand(seed)).limit(n)

@@ -30,16 +30,16 @@ from ..functions.simfn import cosine_tags, non_o
 PAIRS = [(1, 2), (1, 3), (2, 3)]  # fixed reference order (C3 tie-break)
 
 
-def pairwise_error_rates(
+def pairwise_error_rates_df(
     views: DataFrame,
     cos_threshold: float = 0.9,
     limit: int | None = 1000,
     gold_col: str = "gold_tags",
-) -> dict[str, float | int]:
-    """views: (t1_tags, t2_tags, t3_tags, gold_tags [, order cols]).
+) -> DataFrame:
+    """A3 as a one-row DataFrame: (e12, e13, e23, n12, n13, n23).
 
-    Returns {'e12','e13','e23', 'n12','n13','n23'} where n** is the
-    agreement count (the denominator the reference would divide by).
+    views: (t1_tags, t2_tags, t3_tags, gold_tags [, order cols]).
+    n** is the agreement count (the reference's denominator).
     """
     if limit:
         views = views.limit(limit)
@@ -61,14 +61,36 @@ def pairwise_error_rates(
     for a, b in PAIRS:
         agree = F.col(f"agree{a}{b}")
         both_wrong = agree & F.col(f"wrong{a}") & F.col(f"wrong{b}")
-        aggs.append(F.sum(agree.cast("long")).alias(f"n{a}{b}"))
-        aggs.append(F.sum(both_wrong.cast("long")).alias(f"w{a}{b}"))
-    row = scored.agg(*aggs).collect()[0]
+        aggs.append(
+            F.coalesce(F.sum(agree.cast("long")), F.lit(0)).alias(f"n{a}{b}")
+        )
+        aggs.append(
+            F.coalesce(F.sum(both_wrong.cast("long")), F.lit(0)).alias(f"w{a}{b}")
+        )
+    agged = scored.agg(*aggs)
+    return agged.select(
+        *[
+            F.when(F.col(f"n{a}{b}") == 0, F.lit(0.0))
+            .otherwise(F.round(F.col(f"w{a}{b}") / F.col(f"n{a}{b}"), 4))
+            .alias(f"e{a}{b}")
+            for a, b in PAIRS
+        ],
+        *[F.col(f"n{a}{b}") for a, b in PAIRS],
+    )
+
+
+def pairwise_error_rates(
+    views: DataFrame,
+    cos_threshold: float = 0.9,
+    limit: int | None = 1000,
+    gold_col: str = "gold_tags",
+) -> dict[str, float | int]:
+    """Scalar form of A3 (see pairwise_error_rates_df)."""
+    row = pairwise_error_rates_df(views, cos_threshold, limit, gold_col).collect()[0]
     out: dict[str, float | int] = {}
     for a, b in PAIRS:
-        n, w = row[f"n{a}{b}"] or 0, row[f"w{a}{b}"] or 0
-        out[f"n{a}{b}"] = int(n)
-        out[f"e{a}{b}"] = round(w / n, 4) if n else 0.0
+        out[f"n{a}{b}"] = int(row[f"n{a}{b}"])
+        out[f"e{a}{b}"] = float(row[f"e{a}{b}"])
     return out
 
 
