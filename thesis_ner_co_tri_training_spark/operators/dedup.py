@@ -22,6 +22,21 @@ from pyspark.sql import functions as F
 NORM = lambda c: F.lower(F.regexp_replace(c, r"\s+", " "))
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Ensure the doc scan has enough partitions for the explode stages.
+
+    A small parquet file arrives as ONE split, so the shingle explode
+    (~50x rows) and the per-bit/per-hash partial aggregations would run
+    on one core. On a 100TB corpus the scan already has thousands of
+    splits and this is a no-op; locally the cheap pre-explode shuffle of
+    compact doc rows buys full-width partial aggregation.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def normalized_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("norm_text", NORM(F.col(text_col)))
 
@@ -44,19 +59,50 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def token_shingles_long(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc, LONG form (id, s).
+
+    posexplode + window-lead instead of an array higher-order function:
+    HOF lambdas don't codegen AND Catalyst inlines the split() projection
+    into every lambda reference (size(toks) per element -> the tokenizer
+    regex re-runs O(tokens) times per row, ~10x the whole query). Here
+    split() is evaluated exactly ONCE per row in the generator, and the
+    window + distinct run in whole-stage codegen. The (id, pos) window
+    shuffle is keyed by doc — uniform, and exactly the shuffle a 100TB
+    shingling job wants (co-locates each doc's tokens once).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        id_col, F.posexplode(F.split(NORM(F.col(text_col)), " ")).alias("pos", "t")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.col("t")] + [F.lead("t", k).over(w) for k in range(1, n)]
+    return (
+        toks.select(id_col, F.concat_ws(" ", *leads).alias("s"),
+                    leads[-1].alias("__last"))
+        .filter(F.col("__last").isNotNull())
+        .select(id_col, "s")
+        .distinct()
+    )
+
+
 def token_shingles(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", n: int = 3) -> DataFrame:
-    """Word n-gram shingle arrays per doc (distinct shingles)."""
-    toks = F.split(NORM(F.col(text_col)), " ")
-    grams = F.expr(
-        "array_distinct(filter(transform(toks, (t, i) -> "
-        f"case when i + {n} <= size(toks) then concat_ws(' ', slice(toks, i + 1, {n})) end), "
-        "x -> x is not null))"
+    """Word n-gram shingle arrays per doc (distinct shingles).
+
+    Array form over token_shingles_long; docs shorter than n tokens keep
+    an empty array (not a dropped row)."""
+    arr = token_shingles_long(df, id_col, text_col, n).groupBy(id_col).agg(
+        F.collect_list("s").alias("shingles")
     )
     return (
-        df.select(id_col, toks.alias("toks"))
-        .withColumn("shingles", grams)
-        .drop("toks")
+        df.select(id_col).join(arr, id_col, "left")
+        .withColumn(
+            "shingles",
+            F.coalesce(F.col("shingles"), F.array().cast("array<string>")),
+        )
     )
 
 
@@ -77,16 +123,21 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     metrics when used inside the pipeline.
     """
     rows_per_band = num_hashes // bands
-    sh = token_shingles(df, id_col, text_col, n)
-    # Explode + codegen'd min aggregates instead of per-row interpreted
-    # higher-order folds: 32 parallel mins over (doc, shingle) rows run in
-    # whole-stage codegen with map-side partial aggregation — ~50x faster
-    # than aggregate()-lambdas at sf0.1 and the shuffle carries only
-    # num_hashes longs per doc.
-    ex = sh.select(id_col, F.explode("shingles").alias("s"))
+    # Long-form shingles + codegen'd min aggregates instead of per-row
+    # interpreted higher-order folds: num_hashes parallel mins over
+    # (doc, shingle) rows run in whole-stage codegen with map-side partial
+    # aggregation, and the shuffle carries only num_hashes longs per doc.
+    ex = token_shingles_long(_widen(df), id_col, text_col, n)
     sig = ex.groupBy(id_col).agg(*[
         F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
     ])
+    # Materialize the signature table: `banded` below is referenced three
+    # times (bucket sizes + both join sides), and without a cut Spark
+    # re-evaluates the whole shingle pipeline per reference (~4x the cost
+    # of the query). sig is the compact point — num_hashes longs per doc;
+    # at corpus scale this is exactly the table a production LSH job
+    # writes out before banding.
+    sig = sig.localCheckpoint(eager=True)
     banded = sig.select(
         F.col(id_col),
         F.posexplode(F.array(*[
@@ -147,7 +198,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
     # Explode tokens -> codegen'd conditional sums per bit (relational
     # aggregation with map-side partials beats interpreted per-row
     # higher-order folds — same reasoning as minhash_lsh_pairs).
-    ex = df.select(
+    ex = _widen(df).select(
         id_col,
         F.explode(F.split(NORM(F.col(text_col)), " ")).alias("t"),
     ).withColumn("h", F.xxhash64("t"))

@@ -63,6 +63,11 @@ def lsh_candidate_pairs(df: DataFrame, bands: int = 4, rows_per_band: int = 4,
     Buckets larger than max_bucket are dropped (non-discriminative — see
     dedup.minhash_lsh_pairs; |B|^2 blow-up guard for power-law surfaces).
     """
+    # Cut the plan: banded is referenced three times below (bucket sizes +
+    # both join sides); without materialization the minhash fold re-runs
+    # per reference. The signature table is compact (num_hashes longs per
+    # distinct surface).
+    df = df.localCheckpoint(eager=True)
     banded = df.select(
         key,
         F.posexplode(
@@ -181,7 +186,9 @@ def canonicalize_entities(mentions: DataFrame,
     entity_id is a deterministic hash of the canonical surface (stable
     across runs and cluster sizes).
     """
-    shingled = surface_shingles(mentions)
+    # shingled feeds both the signature path and the Jaccard verify —
+    # materialize once (distinct surfaces only, so it is vocabulary-sized).
+    shingled = surface_shingles(mentions).localCheckpoint(eager=True)
     sigs = minhash_signature(shingled, num_hashes=num_hashes)
     pairs = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
     verified = jaccard_verify(pairs, shingled, threshold=jaccard_threshold)
