@@ -38,9 +38,41 @@ def shuffled_with_position(df: DataFrame, seed: int = 42, id_col: str = "sent_id
 
     The position is the tie-breaker for exact top-n parity (Python's sorted
     is stable on the shuffled list order, co_training.py:102).
+
+    Scalable distributed zipWithIndex — NOT a global row_number window
+    (which moves every row to ONE partition; a non-starter on a 100TB
+    corpus). Permutation key = xxhash64(id, seed): fully deterministic
+    per row (unlike rand(seed), which depends on physical row order).
+    Range-repartition by key sorts globally in parallel; a per-partition
+    row_number plus a broadcast partition-offset map (one tiny count
+    pass) yields contiguous global positions.
     """
-    w = Window.orderBy(F.rand(seed), id_col)
-    return df.withColumn("pos", F.row_number().over(w))
+    key = F.xxhash64(F.col(id_col).cast("string"), F.lit(seed))
+    n = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    part = (
+        df.withColumn("__key", key)
+        .repartitionByRange(n, "__key")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # both passes below read it once
+    )
+    counts = part.groupBy("__pid").count().collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[int(r["__pid"])] = acc
+        acc += int(r["count"])
+    off_map = F.create_map(
+        *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+    ) if offsets else F.create_map()
+    w = Window.partitionBy("__pid").orderBy("__key", id_col)
+    return (
+        part.withColumn(
+            "pos",
+            (F.coalesce(off_map[F.col("__pid")], F.lit(0))
+             + F.row_number().over(w)).cast("int"),
+        )
+        .drop("__key", "__pid")
+    )
 
 
 def assign_pools(df: DataFrame, u: int, k: int | None = None,
