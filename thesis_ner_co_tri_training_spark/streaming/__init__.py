@@ -4,3 +4,4 @@ from .ingest import (  # noqa: F401
     read_pages_stream,
     start_mentions_sink,
 )
+from .stateful import domain_mention_state_stream  # noqa: F401
