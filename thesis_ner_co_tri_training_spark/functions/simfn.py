@@ -133,7 +133,7 @@ def cosine_tags(a_tags: Column | str, b_tags: Column | str) -> Column:
     na2, nb2 = _n2(a), _n2(b)
     return F.when(
         (na2 == 0) | (nb2 == 0), F.lit(0.0)
-    ).otherwise(F.round(dot / (F.sqrt(na2.cast("double")) * F.sqrt(nb2.cast("double"))), 4))
+    ).otherwise(F.bround(dot / (F.sqrt(na2.cast("double")) * F.sqrt(nb2.cast("double"))), 4))
 
 
 def avg_cfd(preds: Column | str, ignore_o: bool = True) -> Column:
@@ -152,7 +152,7 @@ def avg_cfd(preds: Column | str, ignore_o: bool = True) -> Column:
             F.struct((a["s"] + p["confidence"]).alias("s"), (a["n"] + 1).alias("n")),
         ).otherwise(a),
     )
-    return F.when(acc["n"] == 0, F.lit(0.0)).otherwise(F.round(acc["s"] / acc["n"], 4))
+    return F.when(acc["n"] == 0, F.lit(0.0)).otherwise(F.bround(acc["s"] / acc["n"], 4))
 
 
 def rename_tags_col(col: Column | str) -> Column:

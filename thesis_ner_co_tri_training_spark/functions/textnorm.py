@@ -135,9 +135,16 @@ def split_sentences_udf(s: pd.Series) -> pd.Series:
 def strip_punct_col(col):
     """predict.py:81 as a JVM-side expression (no Python needed).
 
-    Python's \\w/\\s are unicode-aware; Java's default to ASCII, so the
-    embedded (?U) flag (UNICODE_CHARACTER_CLASS) is required to keep
-    'müde' -> 'müde' byte-identical with re.sub (German umlauts must
-    survive; without (?U) Java would strip them).
+    Java's \\w/\\s differ from Python's even with (?U), so the class is
+    spelled out in Unicode categories (divergences found by the
+    hypothesis cross-engine property test):
+      - Python \\w = alphanumeric-or-underscore = categories L*, Nd, Nl,
+        No plus '_'. Java (?U)\\w uses \\p{Digit}=Nd only (drops
+        superscripts etc.) and ADDS combining marks Mn/Mc/Me that Python
+        does not treat as word chars.
+      - Python \\s = Unicode White_Space PLUS the information separators
+        U+001C-001F, which Java's \\s (White_Space property) excludes.
     """
-    return F.regexp_replace(col, r"(?U)[^\w\s]", "")
+    return F.regexp_replace(
+        col, "(?U)[^\\p{L}\\p{Nd}\\p{Nl}\\p{No}_\\s\\x1c-\\x1f]", ""
+    )

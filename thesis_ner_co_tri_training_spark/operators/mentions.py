@@ -32,7 +32,7 @@ def _close(acc: str = "acc") -> str:
     return (
         f"CASE WHEN {acc}.n > 0 THEN array_append({acc}.spans, named_struct("
         f"'beg', {acc}.beg, 'end', {acc}.beg + {acc}.n, 'tag', {acc}.tag, "
-        f"'conf', round({acc}.csum / {acc}.n, 4))) ELSE {acc}.spans END"
+        f"'conf', bround({acc}.csum / {acc}.n, 4))) ELSE {acc}.spans END"
     )
 
 

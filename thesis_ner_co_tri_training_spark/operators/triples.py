@@ -44,7 +44,7 @@ def triples_from_spans(tokens_col: str = "tokens", ms_col: str = "ms",
                     'pred', lower(try_element_at(
                         filter({gap}, t -> array_contains({cues_arr}, lower(t))), 1)),
                     'obj', array_join(slice({tokens_col}, m2.beg + 1, m2.end - m2.beg), ' '),
-                    'confidence', round(least(m1.conf, m2.conf), 4))))),
+                    'confidence', bround(least(m1.conf, m2.conf), 4))))),
         tr -> tr.pred IS NOT NULL)""")
 
 
