@@ -278,14 +278,26 @@ def explode_sentences(pages: DataFrame) -> DataFrame:
     """pages -> (url, sent_id, text) via extract/split (S1/S2 analogs).
 
     Uses the `text` column when present (already-extracted corpora);
-    otherwise runs the byte-identical extractor over `html`.
+    otherwise runs the byte-identical extractor over `html`. One fused
+    Arrow pass — chaining extract_text_udf and split_sentences_udf would
+    pipeline each task through TWO Python workers (see tag_pages_df).
     """
-    from ..functions.textnorm import extract_text_udf, split_sentences_udf
+    from ..functions.textnorm import extract_text, split_sentences
 
-    src = pages
-    if "text" not in pages.columns:
-        src = pages.withColumn("text", extract_text_udf(F.col("html")))
-    sents = src.select(
-        "url", F.posexplode(split_sentences_udf(F.col("text"))).alias("sent_id", "text")
+    has_text = "text" in pages.columns
+    src_col = "text" if has_text else "html"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, ids, texts = [], [], []
+            for url, payload in zip(pdf["url"], pdf[src_col]):
+                text = payload if has_text else extract_text(payload)
+                for i, s in enumerate(split_sentences(text)):
+                    urls.append(url)
+                    ids.append(i)
+                    texts.append(s)
+            yield pd.DataFrame({"url": urls, "sent_id": ids, "text": texts})
+
+    return pages.select("url", src_col).mapInPandas(
+        run, "url string, sent_id bigint, text string"
     )
-    return sents

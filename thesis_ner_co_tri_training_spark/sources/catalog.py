@@ -66,12 +66,13 @@ def write_table(
     elapsed = time.time() - t0
 
     back = df.sparkSession.read.parquet(data_dir)
+    parts = partition_metrics(back)  # one aggregate; row_count = its sum
     snapshot = {
         "table": table,
         "schema": back.schema.jsonValue(),
         "partition_by": partition_by or [],
-        "row_count": back.count(),
-        "partitions": partition_metrics(back),
+        "row_count": sum(p["rows"] for p in parts),
+        "partitions": parts,
         "write_seconds": round(elapsed, 3),
         "params": stage_params or {},
         "snapshot_ts": int(time.time() * 1000),
