@@ -1,0 +1,41 @@
+"""Serving shim parity: per-sentence answers == the distributed vote."""
+
+from thesis_ner_co_tri_training_spark.functions.textnorm import (
+    extract_text, split_sentences)
+from thesis_ner_co_tri_training_spark.operators.mentions import vote_mentions
+from thesis_ner_co_tri_training_spark.operators.tagging import (
+    tag_pages_df, tag_sentence)
+from thesis_ner_co_tri_training_spark.serve import predict, predict_voted
+from thesis_ner_co_tri_training_spark.sources.pages import gen_page, gen_pages_df
+
+N_PAGES = 12
+
+
+def test_predict_reference_record_shape():
+    out = predict("Angela Merkel besucht Berlin 1999")
+    assert out and all(set(d) == {"word", "tag", "confidence"} for d in out)
+    assert out == tag_sentence("Angela Merkel besucht Berlin 1999", 1)
+
+
+def test_predict_voted_matches_batch_vote(spark):
+    pages = gen_pages_df(spark, N_PAGES, partitions=2)
+    voted = vote_mentions(tag_pages_df(pages.drop("text")))
+    batch = {
+        (r["url"], r["sent_id"]): (list(r["tags"]), r["selection_rule"])
+        for r in voted.collect()
+    }
+
+    checked_selected = checked_filtered = 0
+    for pid in range(N_PAGES):
+        page = gen_page(pid)
+        for sid, sent in enumerate(split_sentences(extract_text(page["html"]))):
+            serve = predict_voted(sent)
+            key = (page["url"], sid)
+            if key in batch:
+                assert serve["selection_rule"] == batch[key][1], key
+                assert serve["tags"] == batch[key][0], key
+                checked_selected += 1
+            else:
+                assert serve["selection_rule"] is None, key
+                checked_filtered += 1
+    assert checked_selected > 0 and checked_filtered > 0
