@@ -156,7 +156,8 @@ def tag_all_views_flat(text: str):
     return tokens, [tag_tokens_flat(tokens, v) for v in (1, 2, 3)]
 
 
-def tag_sentences_df(sentences: DataFrame, passthrough: list[str] | None = None) -> DataFrame:
+def tag_sentences_df(sentences: DataFrame, passthrough: list[str] | None = None,
+                     flat: bool = False) -> DataFrame:
     """(url, sent_id, text) -> (url, sent_id, tokens, v1/v2/v3_preds).
 
     Single Arrow-vectorized stage; preserves size(tokens) == size(preds)
@@ -165,7 +166,13 @@ def tag_sentences_df(sentences: DataFrame, passthrough: list[str] | None = None)
     `passthrough` columns (e.g. warc_ts for streaming event time) ride
     through the Arrow batch unchanged — keeps the streaming path free of
     stateful stream-stream rejoins.
+
+    `flat=True` emits SENT_VIEWS_FLAT_SCHEMA (parallel tags/confs arrays)
+    instead of the reference-record struct form — smaller Arrow payload
+    and parquet footprint; the vote consumes either.
     """
+    if flat:
+        return _tag_sentences_flat(sentences, passthrough or [])
 
     from ..functions.simfn import avg_confident_score, cosine_similarity
 
@@ -211,6 +218,46 @@ def tag_sentences_df(sentences: DataFrame, passthrough: list[str] | None = None)
 
     return sentences.select("url", "sent_id", "text", *passthrough).mapInPandas(
         run, SENT_VIEWS_SCHEMA + extra_schema
+    )
+
+
+def _tag_sentences_flat(sentences: DataFrame, passthrough: list[str]) -> DataFrame:
+    """Flat per-sentence tagging (rows are already sentences — no split)."""
+    from ..functions.simfn import avg_confident_score_flat, cosine_similarity
+
+    extra_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in sentences.schema.fields if f.name in passthrough
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _resources()
+        for pdf in batches:
+            out: dict[str, list] = {
+                "url": list(pdf["url"]), "sent_id": list(pdf["sent_id"]),
+                "tokens": [],
+                "t1_tags": [], "t2_tags": [], "t3_tags": [],
+                "t1_confs": [], "t2_confs": [], "t3_confs": [],
+                "t1_cfd": [], "t2_cfd": [], "t3_cfd": [],
+                "cos12": [], "cos23": [], "cos13": [],
+                **{c: list(pdf[c]) for c in passthrough},
+            }
+            for text in pdf["text"]:
+                toks, views = tag_all_views_flat(text)
+                out["tokens"].append(toks)
+                for v, (tags, confs) in enumerate(views, start=1):
+                    out[f"t{v}_tags"].append(tags)
+                    out[f"t{v}_confs"].append(confs)
+                    out[f"t{v}_cfd"].append(
+                        avg_confident_score_flat(tags, confs, ignore_o=True)
+                    )
+                out["cos12"].append(cosine_similarity(views[0][0], views[1][0]))
+                out["cos23"].append(cosine_similarity(views[1][0], views[2][0]))
+                out["cos13"].append(cosine_similarity(views[0][0], views[2][0]))
+            yield pd.DataFrame(out)
+
+    return sentences.select("url", "sent_id", "text", *passthrough).mapInPandas(
+        run, SENT_VIEWS_FLAT_SCHEMA + extra_schema
     )
 
 

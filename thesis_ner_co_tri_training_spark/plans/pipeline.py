@@ -97,7 +97,7 @@ def run_pipeline(
     )
     sent_views = stage(
         "sent_views",
-        lambda: tag_sentences_df(sentences),
+        lambda: tag_sentences_df(sentences, flat=True),
     )
     voted = stage(
         "voted",
