@@ -72,3 +72,24 @@ def test_hyperplane_signature_deterministic(spark, data):
          for r in hyperplane_signature(cdf, DIM, bits=6).collect()}
     assert a == b
     assert all(0 <= v < 64 for v in a.values())
+
+
+def test_ivf_topk_full_probe_equals_brute_force(spark, data):
+    from thesis_ner_co_tri_training_spark.operators.simsearch import ivf_topk
+
+    cands, queries, cdf, qdf = data
+    nlist = 4
+    exact = {(r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+             for r in cosine_topk(cdf, qdf, k=5).collect()}
+    full = {(r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+            for r in ivf_topk(cdf, qdf, dim=DIM, k=5, nlist=nlist,
+                              nprobe=nlist).collect()}
+    assert full == exact  # nprobe == nlist -> exhaustive
+
+    # partial probe: subset with genuine cosines, self-vector found
+    part = ivf_topk(cdf, qdf, dim=DIM, k=5, nlist=nlist, nprobe=1).collect()
+    cvec, qvec = dict(cands), dict(queries)
+    for r in part:
+        want = round(_cos(cvec[r["vec_id"]], qvec[r["query_id"]]), 4)
+        assert abs(r["cosine"] - want) < 1e-9
+    assert any(r["query_id"] == 0 and r["vec_id"] == 3 for r in part)

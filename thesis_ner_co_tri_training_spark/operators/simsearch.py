@@ -127,3 +127,80 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "rank", F.round("cosine", 4).alias("cosine"))
     )
+
+
+def ivf_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    nlist: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """IVF approximate top-k: KMeans coarse quantizer + nprobe cluster probe.
+
+    Index: fit KMeans (seeded) on the candidate vectors, assign each to
+    its cluster (the inverted lists). Search: each query scores only the
+    `nprobe` nearest centroids' lists. nprobe == nlist degenerates to
+    exact brute force (the recall dial the test pins). At corpus scale
+    the assignment is one MLlib pass and the probe join is keyed by
+    cluster id — candidates stay partitioned by list, queries broadcast.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = candidates.sparkSession
+    feats = _as_double(vec_col)
+    cand = candidates.withColumn("__features", array_to_vector(feats))
+    km = KMeans(k=nlist, seed=seed, maxIter=max_iter,
+                featuresCol="__features").fit(cand.select("__features"))
+    assigned = (
+        km.transform(cand)
+        .withColumnRenamed("prediction", "cluster")
+        .drop("__features")
+    )
+    centers = [(i, [float(x) for x in c])
+               for i, c in enumerate(km.clusterCenters())]
+    cdf = spark.createDataFrame(centers, "cluster int, centroid array<double>")
+
+    q = queries.withColumn("__qv", _as_double(vec_col))
+    dist2 = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("centroid"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.col("__d2"), F.col("cluster"))
+    probes = (
+        q.crossJoin(F.broadcast(cdf))
+        .withColumn("__d2", dist2)
+        .withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= nprobe)
+        .select(query_id_col, "cluster", "__qv")
+    )
+
+    c = with_norm(assigned, vec_col).select(id_col, "cluster", "__v", "__nrm")
+    qn = with_norm(probes.withColumnRenamed("__qv", vec_col), vec_col).select(
+        query_id_col, "cluster",
+        F.col("__v").alias("__qv2"), F.col("__nrm").alias("__qn"),
+    )
+    joined = c.join(F.broadcast(qn), "cluster")
+    dot = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("__qv2"), lambda x, y: x * y),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    cos = F.when((F.col("__nrm") == 0) | (F.col("__qn") == 0), F.lit(0.0)).otherwise(
+        dot / (F.col("__nrm") * F.col("__qn"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        joined.withColumn("cosine", cos)
+        .dropDuplicates([query_id_col, id_col])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", F.round("cosine", 4).alias("cosine"))
+    )
