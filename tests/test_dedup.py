@@ -130,3 +130,30 @@ def test_embedding_near_dups_oracle(spark):
             if i < j and cos(u, v) >= 0.9:
                 want[(i, j)] = cos(u, v)
     assert got == want and (1, 2) in got
+
+
+def test_paragraph_dedup_oracle(spark):
+    from collections import Counter
+
+    from thesis_ner_co_tri_training_spark.operators.dedup import paragraph_dedup
+
+    boiler = "Impressum und Datenschutz"
+    docs = [
+        (1, f"{boiler}\neigener inhalt eins\nmehr text"),
+        (2, f"{boiler}\neigener inhalt zwei"),
+        (3, f"{boiler.upper()}\nnur hier"),      # dup modulo normalization
+        (4, "ganz anderes dokument"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_paragraphs"], r["n_removed"])
+           for r in paragraph_dedup(df).collect()}
+
+    counts = Counter()
+    for _, t in docs:
+        for p in set(norm(x) for x in t.split("\n")):
+            counts[p] += 1
+    for i, t in docs:
+        paras = t.split("\n")
+        keep = [p for p in paras if counts[norm(p)] <= 1]
+        assert got[i] == ("\n".join(keep), len(paras), len(paras) - len(keep)), i
+    assert got[1][2] == 1 and got[4][2] == 0

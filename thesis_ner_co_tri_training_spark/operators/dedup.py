@@ -283,3 +283,52 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    max_occurrences: int = 1) -> DataFrame:
+    """Corpus-wide duplicated-paragraph removal (CCNet-style boilerplate
+    filter): drop every paragraph whose normalized form occurs in more
+    than `max_occurrences` documents, then reassemble each document with
+    its remaining paragraphs in original order.
+
+    Output: id, text (cleaned), n_paragraphs, n_removed.
+
+    Shape at scale: explode -> one hash-keyed count shuffle (map-side
+    partial agg; the md5 key space is uniform, no skew) -> hash join back
+    -> one doc-keyed regroup. Empty documents survive as empty text.
+    """
+    paras = df.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("p_pos", "para"),
+    ).withColumn("p_hash", F.md5(NORM(F.col("para"))))
+    counts = paras.groupBy("p_hash").agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs_with")
+    )
+    marked = paras.join(counts, "p_hash")
+    kept = marked.filter(F.col("n_docs_with") <= max_occurrences)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("p_pos"), F.col("para")))
+                ),
+                lambda s: s["para"],
+            ),
+            "\n",
+        ).alias("__text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    totals = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paragraphs"))
+    return (
+        df.select(id_col).join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
+            F.coalesce(F.col("n_paragraphs"), F.lit(0)).alias("n_paragraphs"),
+            (F.coalesce(F.col("n_paragraphs"), F.lit(0))
+             - F.coalesce(F.col("__n_kept"), F.lit(0))).alias("n_removed"),
+        )
+    )
