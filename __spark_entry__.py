@@ -566,6 +566,19 @@ def q27_extend_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extend_labeled(labeled, ext, keys=["c_custkey"])
 
 
+def q28_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-paragraph removal (CCNet-style), rebuilt
+    text in original paragraph order."""
+    from thesis_ner_co_tri_training_spark.operators.dedup import paragraph_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return paragraph_dedup(docs).select(
+        "doc_id", "text",
+        F.col("n_paragraphs").cast("long").alias("n_paragraphs"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: triple extraction over sf0.001 documents."""
     return q22_triples(spark, "/root/testdata/sf0.001")
@@ -600,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_exact_dedup": q25_exact_dedup,
         "q26_error_rates": q26_error_rates,
         "q27_extend_labeled": q27_extend_labeled,
+        "q28_paragraph_dedup": q28_paragraph_dedup,
     }
 
 
@@ -937,6 +951,45 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey % 2 = 0 AND c_custkey % 3 <> 0
+        """,
+        "q28_paragraph_dedup": r"""
+            WITH paras AS (
+                SELECT d.doc_id, g.i - 1 AS p_pos,
+                       list_extract(string_split(d.text, chr(10)), g.i) AS para
+                FROM documents d,
+                     LATERAL (SELECT unnest(generate_series(1,
+                         len(string_split(d.text, chr(10))))) AS i) g
+            ),
+            normed AS (
+                SELECT doc_id, p_pos, para,
+                       lower(regexp_replace(para, '\s+', ' ', 'g')) AS p_norm
+                FROM paras
+            ),
+            counts AS (
+                SELECT p_norm, count(DISTINCT doc_id) AS n_docs_with
+                FROM normed GROUP BY p_norm
+            ),
+            kept AS (
+                SELECT n.doc_id, n.p_pos, n.para
+                FROM normed n JOIN counts c ON n.p_norm = c.p_norm
+                WHERE c.n_docs_with <= 1
+            ),
+            rebuilt AS (
+                SELECT doc_id,
+                       string_agg(para, chr(10) ORDER BY p_pos) AS text,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            ),
+            totals AS (
+                SELECT doc_id, count(*) AS n_paragraphs FROM paras GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(r.text, '') AS text,
+                   CAST(coalesce(t.n_paragraphs, 0) AS BIGINT) AS n_paragraphs,
+                   CAST(coalesce(t.n_paragraphs, 0) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+            FROM documents d
+            LEFT JOIN totals t ON t.doc_id = d.doc_id
+            LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
         """,
         # q19/q20 intentionally omitted: xxhash64-based (rows-only check).
     }
