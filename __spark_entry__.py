@@ -579,6 +579,21 @@ def q28_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q29_entity_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics over the extracted triple graph: per-entity
+    in/out/total degree (plans/graph.degree_stats on q22's edges)."""
+    from thesis_ner_co_tri_training_spark.plans.graph import degree_stats
+
+    triples = q22_triples(spark, sf_dir)
+    return degree_stats(triples.select("subj", "obj"),
+                        src="subj", dst="obj").select(
+        "node",
+        F.col("out_deg").cast("long").alias("out_deg"),
+        F.col("in_deg").cast("long").alias("in_deg"),
+        F.col("degree").cast("long").alias("degree"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: triple extraction over sf0.001 documents."""
     return q22_triples(spark, "/root/testdata/sf0.001")
@@ -614,7 +629,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_error_rates": q26_error_rates,
         "q27_extend_labeled": q27_extend_labeled,
         "q28_paragraph_dedup": q28_paragraph_dedup,
+        "q29_entity_degrees": q29_entity_degrees,
     }
+
+
+_Q22_SQL = f"""
+    WITH {_TOK_CTE},
+    m AS (SELECT t.doc_id, t.pos, t.word, g.conf
+          FROM tok t JOIN {_GAZ_SQL} ON t.word = g.word),
+    cues AS (SELECT doc_id, pos AS cue_pos, word AS cue FROM tok
+             WHERE word IN {_CUES_SQL})
+    SELECT m1.word AS subj, arg_min(c.cue, c.cue_pos) AS pred, m2.word AS obj,
+           m1.doc_id AS doc_id, m1.pos AS p1, m2.pos AS p2,
+           round(least(m1.conf, m2.conf), 4) AS confidence
+    FROM m m1
+    JOIN m m2 ON m1.doc_id = m2.doc_id AND m1.pos < m2.pos
+    JOIN cues c ON c.doc_id = m1.doc_id AND c.cue_pos > m1.pos AND c.cue_pos < m2.pos
+    GROUP BY m1.word, m2.word, m1.doc_id, m1.pos, m2.pos, m1.conf, m2.conf
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -882,20 +914,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, t.pos, t.word, g.tag, g.conf
             FROM tok t JOIN {_GAZ_SQL} ON t.word = g.word
         """,
-        "q22_triples": f"""
-            WITH {_TOK_CTE},
-            m AS (SELECT t.doc_id, t.pos, t.word, g.conf
-                  FROM tok t JOIN {_GAZ_SQL} ON t.word = g.word),
-            cues AS (SELECT doc_id, pos AS cue_pos, word AS cue FROM tok
-                     WHERE word IN {_CUES_SQL})
-            SELECT m1.word AS subj, arg_min(c.cue, c.cue_pos) AS pred, m2.word AS obj,
-                   m1.doc_id AS doc_id, m1.pos AS p1, m2.pos AS p2,
-                   round(least(m1.conf, m2.conf), 4) AS confidence
-            FROM m m1
-            JOIN m m2 ON m1.doc_id = m2.doc_id AND m1.pos < m2.pos
-            JOIN cues c ON c.doc_id = m1.doc_id AND c.cue_pos > m1.pos AND c.cue_pos < m2.pos
-            GROUP BY m1.word, m2.word, m1.doc_id, m1.pos, m2.pos, m1.conf, m2.conf
-        """,
+        "q22_triples": _Q22_SQL,
         "q23_prf": f"""
             WITH {_TOK_CTE},
             pred AS (SELECT DISTINCT t.doc_id, t.pos, g.tag
@@ -990,6 +1009,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN totals t ON t.doc_id = d.doc_id
             LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+        """,
+        "q29_entity_degrees": f"""
+            WITH t AS ({_Q22_SQL}),
+            outd AS (SELECT subj AS node, count(*) AS out_deg FROM t GROUP BY subj),
+            ind AS (SELECT obj AS node, count(*) AS in_deg FROM t GROUP BY obj)
+            SELECT coalesce(o.node, i.node) AS node,
+                   CAST(coalesce(o.out_deg, 0) AS BIGINT) AS out_deg,
+                   CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_deg,
+                   CAST(coalesce(o.out_deg, 0) + coalesce(i.in_deg, 0) AS BIGINT) AS degree
+            FROM outd o FULL OUTER JOIN ind i ON o.node = i.node
         """,
         # q19/q20 intentionally omitted: xxhash64-based (rows-only check).
     }

@@ -1,0 +1,87 @@
+"""Graph analytics over the materialized node/edge tables.
+
+The north star ends at partitioned node/edge tables; these operators make
+the graph queryable: degree statistics (one aggregation) and PageRank
+(the second hand-rolled iterative driver beside linking's
+connected-components — same alternating join + checkpoint pattern
+GraphFrames uses, SURVEY §4).
+
+Scale notes: PageRank's per-iteration shuffle is keyed by node id;
+contribution fan-out is bounded by out-degree (power-law — AQE skew
+handling plus the salted-repartition option upstream). localCheckpoint
+every few rounds truncates the iterative lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degree_stats(edges: DataFrame, src: str = "subj_id",
+                 dst: str = "obj_id") -> DataFrame:
+    """Per-node in/out/total degree. Output: node, out_deg, in_deg, degree."""
+    out_d = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg"))
+    in_d = edges.groupBy(F.col(dst).alias("node")).agg(
+        F.count(F.lit(1)).alias("in_deg"))
+    return (
+        out_d.join(in_d, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            (F.coalesce("out_deg", F.lit(0))
+             + F.coalesce("in_deg", F.lit(0))).alias("degree"),
+        )
+    )
+
+
+def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
+             src: str = "subj_id", dst: str = "obj_id",
+             checkpoint_every: int = 5) -> DataFrame:
+    """Power-iteration PageRank on a (src, dst) edge DataFrame.
+
+    Semantics (classic random surfer with dangling-node handling):
+    every node starts at 1/N; each iteration a node's rank is
+    (1 - d)/N + d * (sum of in-neighbor contributions + dangling_mass/N).
+    Output: node, rank (sums to 1 up to float error).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct().localCheckpoint(eager=True)
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for i in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(out_deg, "src")
+            .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        dangling = (
+            ranks.join(out_deg.withColumnRenamed("src", "node"), "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base)
+                 + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                 ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
