@@ -130,3 +130,21 @@ def test_stateful_domain_counts_accumulate(spark, pages_dir, tmp_path):
     assert any(r["n_batches"] > 1 for r in final.values())
     for r in final.values():
         assert r["first_seen"] <= r["last_seen"]
+
+
+def test_triples_stream_matches_batch(spark, pages_dir):
+    from thesis_ner_co_tri_training_spark.operators.tagging import tag_pages_df
+    from thesis_ner_co_tri_training_spark.operators.triples import extract_triples
+    from thesis_ner_co_tri_training_spark.streaming import triples_stream
+
+    q = (triples_stream(read_pages_stream(spark, pages_dir))
+         .writeStream.format("memory").queryName("t_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql(
+        "select subj, pred, obj, url, sent_id, confidence from t_stream").collect()}
+
+    pages = gen_pages_df(spark, N_PAGES, partitions=2)
+    voted = vote_mentions(tag_pages_df(pages.drop("text")))
+    want = {tuple(r) for r in extract_triples(voted).collect()}
+    assert got == want and want

@@ -5,3 +5,4 @@ from .ingest import (  # noqa: F401
     start_mentions_sink,
 )
 from .stateful import domain_mention_state_stream  # noqa: F401
+from .ingest import triples_stream  # noqa: F401

@@ -62,6 +62,25 @@ def mentions_stream(
     return mentions_table(voted)
 
 
+def triples_stream(
+    pages: DataFrame,
+    cos_threshold: float = 0.7,
+    tcfd_threshold: float = 0.7,
+    scfd_threshold: float = 0.6,
+) -> DataFrame:
+    """pages stream -> (subj, pred, obj, url, sent_id, confidence) stream.
+
+    Same narrow fused path as mentions_stream, ending in relation
+    extraction — incremental KG construction: each micro-batch of crawled
+    pages appends its triples exactly-once through the file sink.
+    """
+    from ..operators.triples import extract_triples
+
+    tagged = tag_pages_df(pages.drop("text"), passthrough=["warc_ts"])
+    voted = vote_mentions(tagged, cos_threshold, tcfd_threshold, scfd_threshold)
+    return extract_triples(voted.drop("warc_ts"))
+
+
 def mention_rates_stream(
     mentions: DataFrame,
     window: str = "1 hour",
