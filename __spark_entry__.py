@@ -317,12 +317,19 @@ def q10_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4: gap>30min sessionization via lag + cumulative sum per user."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # events.ts is TIMESTAMP_NTZ; session tz is UTC so the cast is exact
-    us = lambda c: F.unix_micros(c.cast("timestamp"))
-    gap = us(F.col("ts")) - us(F.lag("ts").over(w))
+    # events.ts is TIMESTAMP_NTZ. Session-timezone-proof gap: NTZ
+    # subtraction yields a day-time interval compared against an interval
+    # literal — no epoch cast, so the result is identical no matter what
+    # spark.sql.session.timeZone the (driver's) session carries. The r01
+    # hash mismatch came from unix_micros(cast(ts AS TIMESTAMP)), which
+    # interprets wall time in the session tz and shifts gaps across DST
+    # transitions when the harness session isn't UTC.
+    gap = F.col("ts") - F.lag("ts").over(w)
     flagged = ev.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > 1800 * 1000000), F.lit(1)).otherwise(F.lit(0)),
+        F.when(
+            gap.isNull() | (gap > F.expr("INTERVAL '30' MINUTE")), F.lit(1)
+        ).otherwise(F.lit(0)),
     )
     sess = flagged.withColumn(
         "session_id", F.sum("new_session").over(
@@ -491,7 +498,11 @@ def q23_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pred = _mentions(spark, sf_dir, GAZ_PRED).select("doc_id", "pos", "tag")
     gold = _mentions(spark, sf_dir, GAZ).select("doc_id", "pos", "tag")
-    return prf_report(pred, gold, keys=["doc_id", "pos"])
+    # digits=None: raw IEEE doubles from integer tp/fp/fn are bit-identical
+    # across engines; round() tie/implementation behavior is not (r01 driver
+    # hash mismatch). The reference-parity round-4 report lives in
+    # plans/eval.prf_report(digits=4) / the seqeval-style artifact.
+    return prf_report(pred, gold, keys=["doc_id", "pos"], digits=None)
 
 
 def q24_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -807,7 +818,11 @@ def oracle_sql() -> dict[str, str]:
                                               ROWS UNBOUNDED PRECEDING) AS session_id
                 FROM flagged
             )
-            SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+            -- CAST: DuckDB sum() over INTEGER is HUGEINT; uncast it surfaces
+            -- as float64 through Arrow/pandas ("5.0" vs Spark's "5") and the
+            -- driver's value-hash sees different values (r01 hash mismatch).
+            SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
             FROM sess GROUP BY user_id ORDER BY user_id
         """,
         "q11_fingerprints": r"""
@@ -929,17 +944,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM pred p FULL OUTER JOIN gold g
                      ON p.doc_id = g.doc_id AND p.pos = g.pos AND p.tag = g.tag
             ),
-            agg AS (SELECT tag AS entity_type, sum(tp) AS tp, sum(fp) AS fp, sum(fn) AS fn
+            -- CAST: DuckDB integer sum() is HUGEINT -> float64 via pandas;
+            -- keep tp/fp/fn (and hence support) BIGINT like the Spark side.
+            agg AS (SELECT tag AS entity_type,
+                           CAST(sum(tp) AS BIGINT) AS tp,
+                           CAST(sum(fp) AS BIGINT) AS fp,
+                           CAST(sum(fn) AS BIGINT) AS fn
                     FROM j GROUP BY tag)
+            -- unrounded IEEE doubles: identical integer operands + identical
+            -- op order ((2*p)*r/(p+r)) => bit-identical to the Spark side.
             SELECT entity_type,
-                   round(CASE WHEN tp + fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fp) END, 4) AS precision,
-                   round(CASE WHEN tp + fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fn) END, 4) AS recall,
-                   round(CASE WHEN (CASE WHEN tp+fp=0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fp) END)
+                   (CASE WHEN tp + fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fp) END) AS precision,
+                   (CASE WHEN tp + fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fn) END) AS recall,
+                   (CASE WHEN (CASE WHEN tp+fp=0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fp) END)
                               + (CASE WHEN tp+fn=0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fn) END) = 0 THEN 0.0
                          ELSE 2 * (CASE WHEN tp+fp=0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fp) END)
                               * (CASE WHEN tp+fn=0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fn) END)
                               / ((CASE WHEN tp+fp=0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fp) END)
-                                 + (CASE WHEN tp+fn=0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fn) END)) END, 4) AS f1,
+                                 + (CASE WHEN tp+fn=0 THEN 0.0 ELSE CAST(tp AS DOUBLE)/(tp+fn) END)) END) AS f1,
                    (tp + fn) AS support
             FROM agg ORDER BY entity_type
         """,

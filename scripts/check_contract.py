@@ -17,10 +17,22 @@ from thesis_ner_co_tri_training_spark.session import get_spark
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Exact canonical form: every cell -> repr string.
+
+    This intentionally distinguishes 5 (int64) from 5.0 (float64) and
+    last-ulp double differences — the driver's value-hash does too (r01:
+    DuckDB HUGEINT sums surfaced as float64 and hashed differently while a
+    tolerant elementwise compare passed locally). The local gate must be
+    at least as strict as the driver's.
+    """
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+        col = df[c]
+        if col.dtype == object:
+            df[c] = col.map(lambda v: repr(v.tolist()) if hasattr(v, "tolist")
+                            else repr(v))
+        else:
+            df[c] = col.map(lambda v: repr(v.item() if hasattr(v, "item") else v))
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 

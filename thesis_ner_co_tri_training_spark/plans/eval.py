@@ -16,8 +16,17 @@ from pyspark.sql import functions as F
 
 
 def prf_report(pred: DataFrame, gold: DataFrame,
-               keys: list[str], type_col: str = "tag") -> DataFrame:
-    """Span-exact P/R/F1 per type. `keys` identify a span uniquely."""
+               keys: list[str], type_col: str = "tag",
+               digits: int | None = 4) -> DataFrame:
+    """Span-exact P/R/F1 per type. `keys` identify a span uniquely.
+
+    digits=4 mirrors the reference's seqeval report (run_ner.py:558-571).
+    digits=None emits raw IEEE doubles: tp/fp/fn are integer sums, so
+    p = tp/(tp+fp) etc. are correctly-rounded IEEE divisions that come out
+    bit-identical in any engine given the same operand order — the form
+    the cross-engine contract hash (q23) needs, where round() tie behavior
+    and rounding-mode implementations differ between engines/versions.
+    """
     p = pred.select(*keys, type_col).distinct().withColumn("__p", F.lit(1))
     g = gold.select(*keys, type_col).distinct().withColumn("__g", F.lit(1))
     j = p.join(g, [*keys, type_col], "full_outer")
@@ -36,11 +45,12 @@ def prf_report(pred: DataFrame, gold: DataFrame,
         F.col("tp") / (F.col("tp") + F.col("fn"))
     )
     f1 = F.when(prec + rec == 0, F.lit(0.0)).otherwise(2 * prec * rec / (prec + rec))
+    rnd = (lambda c: F.round(c, digits)) if digits is not None else (lambda c: c)
     return agg.select(
         F.col(type_col).alias("entity_type"),
-        F.round(prec, 4).alias("precision"),
-        F.round(rec, 4).alias("recall"),
-        F.round(f1, 4).alias("f1"),
+        rnd(prec).alias("precision"),
+        rnd(rec).alias("recall"),
+        rnd(f1).alias("f1"),
         (F.col("tp") + F.col("fn")).alias("support"),
     ).orderBy("entity_type")
 
