@@ -180,8 +180,11 @@ def q06_cosine_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = norms.select(F.col("doc_id").alias("a"), F.col("n2").alias("na2"))
     nb = norms.select((F.col("doc_id") - 1).alias("a"), F.col("n2").alias("nb2"))
     docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("a"))
-    max_id = docs.agg(F.max("a")).collect()[0][0]
-    pairs = docs.filter(F.col("a") < max_id)
+    # Scalar subquery instead of a driver-side collect: the 1-row max
+    # aggregate is broadcast-joined (no extra blocking job in the plan).
+    mx = docs.agg(F.max("a").alias("__max_id"))
+    pairs = docs.join(F.broadcast(mx)).filter(
+        F.col("a") < F.col("__max_id")).select("a")
     return (
         pairs.join(na, "a", "left").join(nb, "a", "left").join(dots, "a", "left")
         .select(
@@ -215,8 +218,11 @@ def _q26_sql() -> str:
         for a, b in pairs
     )
     cos_cols = ",\n".join(
+        # round_even = HALF_EVEN, matching the engine's F.bround in
+        # cosine_tags — same rounding domain on both sides of the >=0.9
+        # gate (plain DuckDB round is half-away-from-zero).
         f"CASE WHEN nr{a}.n2 IS NULL OR nr{b}.n2 IS NULL OR d{a}{b}.dot IS NULL "
-        f"THEN 0.0 ELSE round(d{a}{b}.dot / (sqrt(nr{a}.n2) * sqrt(nr{b}.n2)), 4) "
+        f"THEN 0.0 ELSE round_even(d{a}{b}.dot / (sqrt(nr{a}.n2) * sqrt(nr{b}.n2)), 4) "
         f"END AS cos{a}{b}"
         for a, b in pairs
     )

@@ -33,7 +33,8 @@ from pyspark.sql import functions as F
 from ..functions.simfn import avg_cfd, cosine_tags, rename_tags_col
 
 
-def shuffled_with_position(df: DataFrame, seed: int = 42, id_col: str = "sent_id") -> DataFrame:
+def shuffled_with_position(df: DataFrame, seed: int = 42, id_col: str = "sent_id",
+                           key_cols: list[str] | None = None) -> DataFrame:
     """R3: seeded uniform shuffle, carrying the post-shuffle position.
 
     The position is the tie-breaker for exact top-n parity (Python's sorted
@@ -41,13 +42,20 @@ def shuffled_with_position(df: DataFrame, seed: int = 42, id_col: str = "sent_id
 
     Scalable distributed zipWithIndex — NOT a global row_number window
     (which moves every row to ONE partition; a non-starter on a 100TB
-    corpus). Permutation key = xxhash64(id, seed): fully deterministic
-    per row (unlike rand(seed), which depends on physical row order).
+    corpus). Permutation key = xxhash64(key_cols, seed): fully
+    deterministic per row (unlike rand(seed), which depends on physical
+    row order). key_cols must be row-unique for that claim to hold —
+    sent_id alone is only unique per url, so the default automatically
+    prefixes url (and doc_id) when present; rows that tied on sent_id
+    across pages would otherwise get positions that depend on physical
+    row order, breaking the tri-loop's checkpoint/resume pool identity.
     Range-repartition by key sorts globally in parallel; a per-partition
     row_number plus a broadcast partition-offset map (one tiny count
     pass) yields contiguous global positions.
     """
-    key = F.xxhash64(F.col(id_col).cast("string"), F.lit(seed))
+    if key_cols is None:
+        key_cols = [c for c in ("url", "doc_id") if c in df.columns] + [id_col]
+    key = F.xxhash64(*[F.col(c).cast("string") for c in key_cols], F.lit(seed))
     n = max(df.sparkSession.sparkContext.defaultParallelism, 2)
     part = (
         df.withColumn("__key", key)
@@ -64,7 +72,7 @@ def shuffled_with_position(df: DataFrame, seed: int = 42, id_col: str = "sent_id
     off_map = F.create_map(
         *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
     ) if offsets else F.create_map()
-    w = Window.partitionBy("__pid").orderBy("__key", id_col)
+    w = Window.partitionBy("__pid").orderBy("__key", *key_cols)
     return (
         part.withColumn(
             "pos",
@@ -204,11 +212,24 @@ def extend_labeled(labeled: DataFrame, ext: DataFrame,
 
 
 def single_tag_subset(df: DataFrame, tag: str, fix_len: int | None = None,
-                      tags_col: str = "tags") -> DataFrame:
+                      tags_col: str = "tags",
+                      order_cols: list[str] | None = None) -> DataFrame:
     """P3: rows whose label list contains B-<tag>, first fix_len of them
-    (hack_single_tag.py:19,38)."""
+    in corpus order (hack_single_tag.py:19,38).
+
+    fix_len is honored exactly (0 -> empty, None -> all). The head is
+    taken under a deterministic ordering (order_cols, default: whichever
+    of url/doc_id/sent_id/pos exist) — a bare .limit() would return an
+    arbitrary plan-dependent subset. Spark compiles sort+limit to
+    TakeOrderedAndProject (per-partition top-N + merge), no global sort.
+    """
     out = df.filter(F.array_contains(F.col(tags_col), f"B-{tag}"))
-    return out.limit(fix_len) if fix_len else out
+    if fix_len is None:
+        return out
+    if order_cols is None:
+        order_cols = [c for c in ("url", "doc_id", "sent_id", "pos")
+                      if c in out.columns] or list(out.columns)
+    return out.orderBy(*order_cols).limit(fix_len)
 
 
 def train_dev_test_split(df: DataFrame, seed: int = 1) -> list[DataFrame]:

@@ -40,9 +40,16 @@ def pairwise_error_rates_df(
 
     views: (t1_tags, t2_tags, t3_tags, gold_tags [, order cols]).
     n** is the agreement count (the reference's denominator).
+
+    The reference takes the FIRST `limit` validation sentences
+    (tri_train.py:73); a bare .limit() is an arbitrary plan-dependent
+    subset, so the head is taken under a deterministic ordering on
+    whichever id columns exist (sort+limit = TakeOrderedAndProject).
+    With no id columns the bare limit stands — caller must pre-sort.
     """
     if limit:
-        views = views.limit(limit)
+        order_cols = [c for c in ("url", "doc_id", "sent_id") if c in views.columns]
+        views = views.orderBy(*order_cols).limit(limit) if order_cols else views.limit(limit)
     proj = views.select(
         *[non_o(f"t{i}_tags").alias(f"l{i}") for i in (1, 2, 3)],
         non_o(gold_col).alias("g"),

@@ -37,15 +37,20 @@ from ..sources import catalog
 
 
 def salted_repartition(df: DataFrame, key: str, n: int, salt: int = 8,
-                       seed: int = 42) -> DataFrame:
+                       seed: int = 42,
+                       salt_cols: list[str] | None = None) -> DataFrame:
     """Explicit skew-spreading repartition on a power-law key.
 
     Appends a deterministic per-row salt in [0, salt) so one hot domain
-    (or entity) spreads across `salt` reducers instead of one.
+    (or entity) spreads across `salt` reducers instead of one. The salt
+    hashes row CONTENT (salt_cols, default: all columns), never
+    monotonically_increasing_id — that id changes when a task is retried
+    or speculated, which would re-salt rows nondeterministically and break
+    the resume/lineage reproducibility contract.
     """
-    return df.repartition(
-        n, F.col(key), (F.abs(F.xxhash64(F.monotonically_increasing_id(), F.lit(seed))) % salt)
-    )
+    cols = salt_cols if salt_cols is not None else df.columns
+    row_hash = F.xxhash64(*[F.col(c) for c in cols], F.lit(seed))
+    return df.repartition(n, F.col(key), F.abs(row_hash) % salt)
 
 
 DEFAULT_PARAMS: dict[str, Any] = {
@@ -108,7 +113,8 @@ def run_pipeline(
     mentions = stage(
         "mentions",
         lambda: salted_repartition(
-            with_domain(mentions_table(voted)), "domain", n_shuffle, p["salt"]
+            with_domain(mentions_table(voted)), "domain", n_shuffle, p["salt"],
+            salt_cols=["url", "sent_id"],
         ).drop("domain"),
     )
     triples = stage(
