@@ -65,16 +65,18 @@ def main() -> int:
     # mentions + triples (no disk writes; measures the compute DAG).
     from pyspark.sql import functions as F
 
-    from thesis_ner_co_tri_training_spark.operators.mentions import (
-        spans_expr, vote_mentions)
-    from thesis_ner_co_tri_training_spark.operators.tagging import tag_pages_df
+    from thesis_ner_co_tri_training_spark.operators.mentions import spans_expr
+    from thesis_ner_co_tri_training_spark.operators.tagging import (
+        tag_and_vote_pages_df)
     from thesis_ner_co_tri_training_spark.operators.triples import triples_from_spans
     from thesis_ner_co_tri_training_spark.sources.pages import gen_pages_df
 
     pages = gen_pages_df(spark, KG_PAGES).cache()
     pages.count()  # materialize input outside the timed section
     t0 = time.time()
-    voted = vote_mentions(tag_pages_df(pages.drop("text")))
+    # Fused tag+vote: only voted rows cross the Arrow socket (see
+    # tagging.tag_and_vote_pages_df; parity pinned by test_fused_vote).
+    voted = tag_and_vote_pages_df(pages.drop("text"))
     row = (
         voted.withColumn("ms", spans_expr("tags", "confs"))
         .agg(F.sum(F.size("ms")).alias("nm"),

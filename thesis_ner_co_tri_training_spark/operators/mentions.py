@@ -27,6 +27,48 @@ from ..functions.simfn import avg_cfd, cosine_tags
 
 _SPAN_STRUCT = "array<struct<beg:int,end:int,tag:string,conf:double>>"
 
+# Rotation order is reference semantics (tri_train.py:148): a sentence is
+# consumed by the FIRST gate that passes, ties in arbitration go to the
+# first teacher. Shared by the relational vote below and the fused
+# Python vote (operators/tagging.tag_and_vote_pages_df).
+ROTATIONS = [(1, 2, 3, "rot_12_3"), (2, 3, 1, "rot_23_1"), (1, 3, 2, "rot_13_2")]
+
+
+def vote_sentence_flat(
+    tags_by_view: list[list[str]],
+    confs_by_view: list[list[float]],
+    cfds: list[float],
+    cosines: list[float],
+    cos_threshold: float,
+    tcfd_threshold: float,
+    scfd_threshold: float,
+) -> tuple[list[str], list[float], str, float] | None:
+    """Pure-Python single-sentence form of vote_mentions (C1+C2+rotation).
+
+    cosines = [cos12, cos23, cos13], matching ROTATIONS order. Returns
+    (tags, confs, selection_rule, cos_score) or None (sentence dropped).
+    Operates on the exact same float values the relational form sees
+    (both consume the tagging pass's precomputed cfd/cos columns), so
+    comparisons are bit-identical — pinned by the fused-vs-staged parity
+    test.
+    """
+    for (a, b, s, rule), cos in zip(ROTATIONS, cosines):
+        if (
+            cos > cos_threshold
+            and min(cfds[a - 1], cfds[b - 1]) > tcfd_threshold
+            and cfds[s - 1] < scfd_threshold
+        ):
+            if tags_by_view[a - 1] == tags_by_view[b - 1]:
+                pick = a - 1
+            elif cfds[a - 1] > cfds[b - 1]:
+                pick = a - 1
+            else:
+                pick = b - 1
+            return tags_by_view[pick], confs_by_view[pick], rule, cos
+    if tags_by_view[0] == tags_by_view[1] == tags_by_view[2]:
+        return tags_by_view[0], confs_by_view[0], "unanimous", 1.0
+    return None
+
 
 def _close(acc: str = "acc") -> str:
     return (

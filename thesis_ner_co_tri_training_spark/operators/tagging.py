@@ -20,6 +20,7 @@ predict.py:114; tokenization is whitespace over punctuation-stripped text
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Iterator
 
 import pandas as pd
@@ -61,24 +62,67 @@ def _resources() -> list[dict]:
     return _RESOURCES
 
 
+@lru_cache(maxsize=1 << 17)
 def _o_conf(word: str) -> float:
     return _stable_conf(f"o|{word}", 0.05, 0.45)
 
 
+# Per-gazetteer first-token index, built once per worker process. Maps
+# first lowercased token -> candidates sorted by span DESC (greedy
+# longest-match order); entries longer than 3 tokens are excluded because
+# the reference scan only ever tries spans 3..1. At most one candidate
+# per span can equal the token window, so first-match iteration is
+# exactly the original 3->2->1 membership probe without materializing a
+# joined surface string per (position, span, view) — the profile's top
+# cost (~1M str.join + ~2.6M .lower per 800 pages).
+_INDEX_CACHE: dict[int, dict[str, list[tuple[int, tuple[str, ...], str, float]]]] = {}
+
+
+def _index_for(gaz: dict) -> dict[str, list[tuple[int, tuple[str, ...], str, float]]]:
+    idx = _INDEX_CACHE.get(id(gaz))
+    if idx is None:
+        idx = {}
+        for surf, (tag, conf) in gaz.items():
+            parts = tuple(surf.split(" "))
+            if len(parts) > 3:
+                continue
+            idx.setdefault(parts[0], []).append((len(parts), parts, tag, conf))
+        for cands in idx.values():
+            cands.sort(key=lambda x: -x[0])
+        _INDEX_CACHE[id(gaz)] = idx
+    return idx
+
+
 def _gaz_match(tokens: list[str], gaz: dict, tags: list[str | None],
-               confs: list[float]) -> None:
-    """Greedy longest-match (3..1 tokens) gazetteer scan, BIO emission."""
+               confs: list[float], lows: list[str] | None = None) -> None:
+    """Greedy longest-match (3..1 tokens) gazetteer scan, BIO emission.
+
+    Semantics identical to the direct windowed-membership form (a span is
+    only taken when every window slot is still untagged and the joined
+    lowercase window is a gazetteer key); the index just prunes positions
+    whose first token starts no gazetteer entry.
+    """
+    if lows is None:
+        lows = [t.lower() for t in tokens]
+    index = _index_for(gaz)
     i, n = 0, len(tokens)
     while i < n:
         if tags[i] is not None:
             i += 1
             continue
         hit = None
-        for span in (3, 2, 1):
-            if i + span <= n and all(tags[j] is None for j in range(i, i + span)):
-                surf = " ".join(t.lower() for t in tokens[i:i + span])
-                if surf in gaz:
-                    hit = (span, *gaz[surf])
+        cands = index.get(lows[i])
+        if cands:
+            for span, parts, tag, conf in cands:
+                if i + span > n:
+                    continue
+                ok = True
+                for j in range(1, span):
+                    if tags[i + j] is not None or lows[i + j] != parts[j]:
+                        ok = False
+                        break
+                if ok:
+                    hit = (span, tag, conf)
                     break
         if hit:
             span, tag, conf = hit
@@ -90,25 +134,30 @@ def _gaz_match(tokens: list[str], gaz: dict, tags: list[str | None],
             i += 1
 
 
-def tag_tokens_flat(tokens: list[str], view_id: int) -> tuple[list[str], list[float]]:
+def tag_tokens_flat(tokens: list[str], view_id: int,
+                    lows: list[str] | None = None) -> tuple[list[str], list[float]]:
     """Flat core tagger: pre-tokenized sentence -> (tags, confs) arrays.
 
     view 1: gazetteer only.
     view 2: gazetteer subset 2 + pattern rules (4-digit year -> DATE,
             digits -> CARDINAL, org suffix -> ORG).
     view 3: gazetteer subset 3 + context cues (previous token).
+
+    `lows` (precomputed lowercase tokens) lets the tri-view caller lower
+    each token once instead of once per view per rule pass.
     """
     n = len(tokens)
+    if lows is None:
+        lows = [t.lower() for t in tokens]
     tags: list[str | None] = [None] * n
     confs: list[float] = [0.0] * n
     gaz = _resources()[view_id - 1]
-    _gaz_match(tokens, gaz, tags, confs)
+    _gaz_match(tokens, gaz, tags, confs, lows=lows)
 
     if view_id == 2:
-        for i, tok in enumerate(tokens):
+        for i, low in enumerate(lows):
             if tags[i] is not None:
                 continue
-            low = tok.lower()
             if low.isdigit() and len(low) == 4 and 1900 <= int(low) <= 2099:
                 tags[i], confs[i] = "B-DATE", _stable_conf(f"v2|date|{low}")
             elif low.isdigit():
@@ -116,18 +165,18 @@ def tag_tokens_flat(tokens: list[str], view_id: int) -> tuple[list[str], list[fl
             elif low in _ORG_SUFFIX_SET:
                 tags[i], confs[i] = "B-ORG", _stable_conf(f"v2|org|{low}")
     elif view_id == 3:
-        for i, tok in enumerate(tokens):
-            if tags[i] is not None or i == 0:
+        for i in range(1, n):
+            if tags[i] is not None:
                 continue
-            prev = tokens[i - 1].lower()
-            low = tok.lower()
+            prev = lows[i - 1]
+            low = lows[i]
             cue_tag = CONTEXT_CUES.get(prev)
             if cue_tag and low not in _FILLER_SET and not low.isdigit():
                 tags[i], confs[i] = f"B-{cue_tag}", _stable_conf(f"v3|ctx|{prev}|{low}")
 
-    for i, tok in enumerate(tokens):
+    for i, low in enumerate(lows):
         if tags[i] is None:
-            tags[i], confs[i] = "O", _o_conf(tok.lower())
+            tags[i], confs[i] = "O", _o_conf(low)
     return tags, confs  # type: ignore[return-value]
 
 
@@ -151,9 +200,11 @@ def tag_all_views(text: str) -> tuple[list[str], list[dict], list[dict], list[di
 
 
 def tag_all_views_flat(text: str):
-    """(tokens, [(tags_i, confs_i)] x3) — flat arrays, one tokenization."""
+    """(tokens, [(tags_i, confs_i)] x3) — flat arrays, one tokenization
+    and one lowercase pass shared across the three views."""
     tokens = tokenize(strip_punct(text))
-    return tokens, [tag_tokens_flat(tokens, v) for v in (1, 2, 3)]
+    lows = [t.lower() for t in tokens]
+    return tokens, [tag_tokens_flat(tokens, v, lows=lows) for v in (1, 2, 3)]
 
 
 def tag_sentences_df(sentences: DataFrame, passthrough: list[str] | None = None,
@@ -319,6 +370,101 @@ def tag_pages_df(pages: DataFrame, passthrough: list[str] | None = None) -> Data
             yield pd.DataFrame(out)
 
     return pages.select(*in_cols).mapInPandas(run, SENT_VIEWS_FLAT_SCHEMA + extra_schema)
+
+
+# Voted-sentence schema emitted by the fused tag+vote pass (matches
+# vote_mentions' output column set).
+VOTED_FLAT_SCHEMA = (
+    "url string, sent_id bigint, tokens array<string>, "
+    "tags array<string>, confs array<double>, "
+    "selection_rule string, cos_score double"
+)
+
+
+def tag_and_vote_pages_df(
+    pages: DataFrame,
+    cos_threshold: float = 0.7,
+    tcfd_threshold: float = 0.7,
+    scfd_threshold: float = 0.6,
+    passthrough: list[str] | None = None,
+) -> DataFrame:
+    """pages -> VOTED sentences in ONE Arrow pass (tag_pages_df + vote).
+
+    Row-identical to vote_mentions(tag_pages_df(pages)) — pinned by the
+    fused-vs-staged parity test — but the agreement vote runs inside the
+    same Python worker that computed the views, so only the ~50% of
+    sentences that survive the gate cross the Python->JVM Arrow socket,
+    carrying ONE tags/confs pair instead of three plus the cfd/cos
+    columns (~5-6x fewer bytes over the socket per input page). At high
+    core counts the socket/serialization work is kernel-heavy and
+    contended, so shrinking it is what buys N->4N scaling efficiency;
+    JVM-side it also removes the wide interpreted CASE trees from the
+    plan. The staged pipeline intentionally does NOT use this: it
+    materializes sent_views as a checkpoint so sweeps can re-vote with
+    different thresholds without re-tagging.
+    """
+    from ..functions.simfn import avg_confident_score_flat, cosine_similarity
+    from ..functions.textnorm import extract_text, split_sentences
+    from .mentions import vote_sentence_flat
+
+    passthrough = passthrough or []
+    has_text = "text" in pages.columns
+    in_cols = ["url", "text" if has_text else "html", *passthrough]
+    # Same column order as vote_mentions: url, sent_id, *extras, tokens, ...
+    extra_schema = "".join(
+        f"{f.name} {f.dataType.simpleString()}, "
+        for f in pages.schema.fields if f.name in passthrough
+    )
+    out_schema = (
+        "url string, sent_id bigint, " + extra_schema
+        + "tokens array<string>, tags array<string>, confs array<double>, "
+          "selection_rule string, cos_score double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _resources()
+        for pdf in batches:
+            out: dict[str, list] = {
+                "url": [], "sent_id": [],
+                **{c: [] for c in passthrough},
+                "tokens": [], "tags": [],
+                "confs": [], "selection_rule": [], "cos_score": [],
+            }
+            src = pdf["text"] if has_text else pdf["html"]
+            for row_i, (url, payload) in enumerate(zip(pdf["url"], src)):
+                text = payload if has_text else extract_text(payload)
+                for sent_id, sent in enumerate(split_sentences(text)):
+                    toks, views = tag_all_views_flat(sent)
+                    tags_v = [v[0] for v in views]
+                    confs_v = [v[1] for v in views]
+                    cfds = [
+                        avg_confident_score_flat(t, c, ignore_o=True)
+                        for t, c in views
+                    ]
+                    cosines = [
+                        cosine_similarity(tags_v[0], tags_v[1]),
+                        cosine_similarity(tags_v[1], tags_v[2]),
+                        cosine_similarity(tags_v[0], tags_v[2]),
+                    ]
+                    picked = vote_sentence_flat(
+                        tags_v, confs_v, cfds, cosines,
+                        cos_threshold, tcfd_threshold, scfd_threshold,
+                    )
+                    if picked is None:
+                        continue
+                    tags, confs, rule, cos = picked
+                    out["url"].append(url)
+                    out["sent_id"].append(sent_id)
+                    out["tokens"].append(toks)
+                    out["tags"].append(tags)
+                    out["confs"].append(confs)
+                    out["selection_rule"].append(rule)
+                    out["cos_score"].append(cos)
+                    for col in passthrough:
+                        out[col].append(pdf[col].iloc[row_i])
+            yield pd.DataFrame(out)
+
+    return pages.select(*in_cols).mapInPandas(run, out_schema)
 
 
 def explode_sentences(pages: DataFrame) -> DataFrame:

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import hashlib
 import random
+from functools import lru_cache
 
 TAGS = [
     "PER", "TITLE", "AGE", "DATE", "TIME", "DUR", "FREQ", "RATE", "ORDINAL",
@@ -52,10 +53,13 @@ CUES = ["besucht", "leitet", "gruendet", "trifft", "verkauft", "kauft",
         "unterstuetzt", "kritisiert"]
 
 
+@lru_cache(maxsize=1 << 17)
 def _stable_conf(key: str, lo: float = 0.55, hi: float = 0.99) -> float:
     """Planted per-entry confidence in [lo, hi), round 4 (utils.py:70,88).
 
-    md5-based so it is stable across processes (no PYTHONHASHSEED effect).
+    md5-based so it is stable across processes (no PYTHONHASHSEED
+    effect); pure, so memoized — the tagging hot path calls it once per
+    token occurrence but the corpus vocabulary is small.
     """
     h = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
     return round(lo + (h / 0xFFFFFFFF) * (hi - lo), 4)

@@ -27,8 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.mentions import mentions_table, vote_mentions
-from ..operators.tagging import tag_pages_df
+from ..operators.mentions import mentions_table
+from ..operators.tagging import tag_and_vote_pages_df
 from ..sources.pages import PAGES_SCHEMA
 
 
@@ -57,8 +57,9 @@ def mentions_stream(
     # Single fused Arrow pass (extract -> split -> tag); event time
     # (warc_ts) threads through as a passthrough column — no stateful
     # stream-stream rejoin, whole path narrow and shuffle-free.
-    tagged = tag_pages_df(pages.drop("text"), passthrough=["warc_ts"])
-    voted = vote_mentions(tagged, cos_threshold, tcfd_threshold, scfd_threshold)
+    voted = tag_and_vote_pages_df(
+        pages.drop("text"), cos_threshold, tcfd_threshold, scfd_threshold,
+        passthrough=["warc_ts"])
     return mentions_table(voted)
 
 
@@ -76,8 +77,9 @@ def triples_stream(
     """
     from ..operators.triples import extract_triples
 
-    tagged = tag_pages_df(pages.drop("text"), passthrough=["warc_ts"])
-    voted = vote_mentions(tagged, cos_threshold, tcfd_threshold, scfd_threshold)
+    voted = tag_and_vote_pages_df(
+        pages.drop("text"), cos_threshold, tcfd_threshold, scfd_threshold,
+        passthrough=["warc_ts"])
     return extract_triples(voted.drop("warc_ts"))
 
 
