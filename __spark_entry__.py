@@ -429,7 +429,11 @@ def q17_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from thesis_ner_co_tri_training_spark.operators.dedup import embedding_near_dups
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
-    return embedding_near_dups(emb, threshold=0.3)
+    # bucketed=False: the contract oracle is a DuckDB cross join, and at
+    # threshold 0.3 LSH recall would be meaningless. The engine default
+    # (bucketed=True) is the scale path; test_dedup pins it equal to
+    # brute force at a realistic near-dup threshold.
+    return embedding_near_dups(emb, threshold=0.3, bucketed=False)
 
 
 def q18_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -616,6 +620,34 @@ def entry(spark: SparkSession) -> DataFrame:
     return q22_triples(spark, "/root/testdata/sf0.001")
 
 
+def q30_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (alternating large/small-star contraction,
+    operators/linking.connected_components) over a deterministic doc
+    graph: chain edges (i, i+1) except every 7th (chains of ~7), plus
+    long-range edges (i, i+13) for i % 50 == 0 (cross-chain merges).
+    Oracle: DuckDB recursive-CTE transitive closure + min-reachable.
+    Node ids are zero-padded so string order == numeric order."""
+    from thesis_ner_co_tri_training_spark.operators.linking import (
+        connected_components)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    ids = docs.select(F.col("doc_id").alias("y"))
+    pad = lambda c: F.lpad(c.cast("string"), 8, "0")
+    chain = (
+        docs.filter(F.col("doc_id") % 7 != 6)
+        .select(F.col("doc_id").alias("x"), (F.col("doc_id") + 1).alias("y"))
+        .join(ids, "y")
+    )
+    far = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(F.col("doc_id").alias("x"), (F.col("doc_id") + 13).alias("y"))
+        .join(ids, "y")
+    )
+    edges = chain.unionByName(far).select(
+        pad(F.col("x")).alias("a"), pad(F.col("y")).alias("b"))
+    return connected_components(edges).orderBy("node")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -647,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_extend_labeled": q27_extend_labeled,
         "q28_paragraph_dedup": q28_paragraph_dedup,
         "q29_entity_degrees": q29_entity_degrees,
+        "q30_components": q30_components,
     }
 
 
@@ -1048,5 +1081,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(o.out_deg, 0) + coalesce(i.in_deg, 0) AS BIGINT) AS degree
             FROM outd o FULL OUTER JOIN ind i ON o.node = i.node
         """,
-        # q19/q20 intentionally omitted: xxhash64-based (rows-only check).
+        "q30_components": """
+            WITH RECURSIVE e0 AS (
+                SELECT x.doc_id AS x, x.doc_id + 1 AS y
+                FROM documents x
+                WHERE x.doc_id % 7 <> 6
+                  AND EXISTS (SELECT 1 FROM documents i
+                              WHERE i.doc_id = x.doc_id + 1)
+                UNION ALL
+                SELECT x.doc_id, x.doc_id + 13
+                FROM documents x
+                WHERE x.doc_id % 50 = 0
+                  AND EXISTS (SELECT 1 FROM documents i
+                              WHERE i.doc_id = x.doc_id + 13)
+            ),
+            edges AS (
+                SELECT lpad(CAST(x AS VARCHAR), 8, '0') AS a,
+                       lpad(CAST(y AS VARCHAR), 8, '0') AS b
+                FROM e0
+            ),
+            sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+            ns AS (SELECT DISTINCT a AS n FROM sym),
+            reach(n, m) AS (
+                SELECT n, n FROM ns
+                UNION
+                SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m
+            )
+            SELECT n AS node, min(m) AS comp FROM reach GROUP BY n ORDER BY node
+        """,
+        # q19/q20 intentionally omitted: xxhash64-based (rows-only check —
+        # tests/test_hash_oracles.py carries their VALUE-level oracle via a
+        # pure-Python XXH64).
     }

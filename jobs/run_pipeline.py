@@ -29,6 +29,11 @@ def main() -> int:
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--eval-report", action="store_true",
+                    help="emit <warehouse>/eval/dev_results.txt — the "
+                         "seqeval-style P/R/F1 artifact vs the synthetic "
+                         "corpus's gold plants (run_ner.py:558-571 mirror; "
+                         "synthetic --pages mode only)")
     args = ap.parse_args()
 
     from thesis_ner_co_tri_training_spark.plans.pipeline import run_pipeline
@@ -57,6 +62,21 @@ def main() -> int:
             for k, v in lineage.items()
         },
     }
+    if args.eval_report and not args.input:
+        import os
+
+        from thesis_ner_co_tri_training_spark.plans.eval import write_prf_artifact
+        from thesis_ner_co_tri_training_spark.sources import catalog
+        from thesis_ner_co_tri_training_spark.sources.pages import gold_tables
+
+        gm, _ = gold_tables(args.pages)
+        gold = spark.createDataFrame(gm)
+        mentions = catalog.read_table(spark, args.warehouse, "mentions")
+        out = os.path.join(args.warehouse, "eval", "dev_results.txt")
+        write_prf_artifact(mentions, gold,
+                           keys=["url", "sent_id", "beg", "end"], out_path=out)
+        summary["eval_report"] = out
+
     print(json.dumps(summary))
     spark.stop()
     return 0

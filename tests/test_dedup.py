@@ -115,7 +115,8 @@ def test_embedding_near_dups_oracle(spark):
     ]
     df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
     got = {(r["a"], r["b"]): r["cosine"]
-           for r in embedding_near_dups(df, threshold=0.9).collect()}
+           for r in embedding_near_dups(df, threshold=0.9,
+                                        bucketed=False).collect()}
 
     def cos(u, v):
         nu = math.sqrt(sum(x * x for x in u))
@@ -157,3 +158,28 @@ def test_paragraph_dedup_oracle(spark):
         keep = [p for p in paras if counts[norm(p)] <= 1]
         assert got[i] == ("\n".join(keep), len(paras), len(paras) - len(keep)), i
     assert got[1][2] == 1 and got[4][2] == 0
+
+
+def test_embedding_near_dups_bucketed_matches_brute(spark):
+    """The LSH-bucketed default must equal brute force on this fixture:
+    verification is exact (so bucketed is always a subset) and the planted
+    near-dups are tight enough that 6-bit x 4-band OR-blocking recalls
+    every >= 0.95 pair (superset) — i.e. equality."""
+    import random
+
+    rng = random.Random(11)
+    vecs = []
+    for i in range(150):
+        vecs.append((2 * i, [rng.uniform(-1, 1) for _ in range(8)]))
+        if i % 3 == 0:  # planted near-dup: tiny perturbation
+            base = vecs[-1][1]
+            vecs.append((2 * i + 1, [x + rng.uniform(-0.01, 0.01) for x in base]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    brute = {(r["a"], r["b"]): r["cosine"]
+             for r in embedding_near_dups(df, threshold=0.95,
+                                          bucketed=False).collect()}
+    lsh = {(r["a"], r["b"]): r["cosine"]
+           for r in embedding_near_dups(df, threshold=0.95).collect()}
+    assert set(lsh) <= set(brute)  # exact verify: no false positives ever
+    assert lsh == brute            # full recall on this fixture
+    assert any(b == a + 1 for a, b in brute)  # planted pairs were found

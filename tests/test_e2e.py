@@ -114,3 +114,44 @@ def test_token_tag_alignment_invariant(spark):
         | (F.size("tokens") != F.size("v3_preds"))
     ).count()
     assert bad == 0
+
+
+def test_prf_report_text_golden():
+    """Golden-file: the run_ner.py:558-571 `*_results.txt` mirror."""
+    from thesis_ner_co_tri_training_spark.plans.eval import prf_report_text
+
+    got = prf_report_text([("PER", 9, 1, 2), ("ORG", 5, 5, 0), ("GPE", 0, 0, 3)])
+    want = (
+        "             precision    recall  f1-score   support\n"
+        "\n"
+        "         GPE    0.0000    0.0000    0.0000         3\n"
+        "         ORG    0.5000    1.0000    0.6667         5\n"
+        "         PER    0.9000    0.8182    0.8571        11\n"
+        "\n"
+        "   micro avg    0.7000    0.7368    0.7179        19\n"
+        "   macro avg    0.4667    0.6061    0.5079        19\n"
+        "weighted avg    0.6526    0.7368    0.6717        19\n"
+    )
+    assert got == want
+
+
+def test_write_prf_artifact(spark, tmp_path, engine_out, oracle_out):
+    """The artifact writer emits the text mirror from real DataFrames and
+    its per-type body agrees with prf_report's rounded values."""
+    from thesis_ner_co_tri_training_spark.plans.eval import write_prf_artifact
+
+    mentions, _ = engine_out
+    o_mentions, _ = oracle_out
+    gold = spark.createDataFrame(
+        [(u, s, b, e, sf, t, c) for (u, s, b, e, sf, t, c) in o_mentions],
+        "url string, sent_id long, beg int, end int, surface string, "
+        "tag string, confidence double",
+    )
+    out = tmp_path / "eval" / "dev_results.txt"
+    text = write_prf_artifact(
+        mentions, gold, keys=["url", "sent_id", "beg", "end"],
+        out_path=str(out))
+    assert out.read_text() == text
+    rep = prf_report(mentions, gold, keys=["url", "sent_id", "beg", "end"])
+    for r in rep.collect():
+        assert f"{r['precision']:.4f}" in text and str(r["support"]) in text

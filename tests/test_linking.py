@@ -50,6 +50,24 @@ def test_connected_components_chain_and_island(spark):
     assert got["s7"] == "s1" and got["x2"] == "x1"
 
 
+def test_star_cc_long_path_logarithmic(spark):
+    """200-node path: star contraction closes it in <= 10 rounds
+    (O(log n)); one-hop hash-min provably cannot (O(diameter)) — which is
+    why star is the default for chain-shaped alias graphs."""
+    names = [f"n{i:03d}" for i in range(200)]
+    edges = list(zip(names, names[1:]))
+    df = spark.createDataFrame(edges, "a string, b string")
+    want = union_find(set(names), edges)
+    got = {r["node"]: r["comp"]
+           for r in connected_components(df, max_iter=10).collect()}
+    assert got == want
+    assert got[names[-1]] == names[0]
+    hm = {r["node"]: r["comp"]
+          for r in connected_components(df, max_iter=10,
+                                        algorithm="hashmin").collect()}
+    assert hm != want
+
+
 SURFACES = [
     ("Angela Merkel", 3),
     ("angela merkel", 2),     # same shingles after lower -> guaranteed merge

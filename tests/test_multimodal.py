@@ -1,27 +1,79 @@
-"""Multimodal plumbing: schema, batch shape, deterministic fake decode."""
+"""Multimodal plumbing: REAL PPM/BMP decode path + recorded-error
+fallback path, schema, batch shape, frame-sample plan."""
 
 import hashlib
+import struct
+
+import numpy as np
 
 from thesis_ner_co_tri_training_spark.operators.multimodal import (
     _fake_features,
+    decode_image,
     extract_features,
     frame_sample_plan,
     gen_media_df,
+    gen_ppm,
+    image_features,
+    resize_nearest,
 )
 
 
-def test_extract_features_shape_and_determinism(spark):
+def _bmp_24(rows_rgb):
+    """Minimal 24bpp bottom-up BMP from a top->bottom RGB row list."""
+    h, w = len(rows_rgb), len(rows_rgb[0])
+    stride = (w * 3 + 3) & ~3
+    pix = bytearray()
+    for r in reversed(rows_rgb):
+        rowb = bytearray()
+        for (R, G, B) in r:
+            rowb += bytes([B, G, R])
+        rowb += b"\0" * (stride - len(rowb))
+        pix += rowb
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 0, 0, 0, 0)
+    return b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54) + info + bytes(pix)
+
+
+def test_decode_ppm_exact():
+    img = decode_image(gen_ppm(16, 12, seed=3))
+    assert img.shape == (12, 16, 3) and img.dtype == np.float32
+    # pixel formula from gen_ppm, exact
+    assert round(float(img[0, 1, 0]) * 255) == (1 * 16 + 3) % 256
+    assert round(float(img[2, 0, 1]) * 255) == (2 * 21 + 6) % 256
+
+
+def test_decode_bmp_exact():
+    img = decode_image(_bmp_24([[(255, 0, 0), (255, 255, 255)],
+                                [(0, 0, 255), (0, 255, 0)]]))
+    assert img.shape == (2, 2, 3)
+    assert (img[0, 0] * 255).round().astype(int).tolist() == [255, 0, 0]
+    assert (img[1, 1] * 255).round().astype(int).tolist() == [0, 255, 0]
+
+
+def test_resize_and_features():
+    const = decode_image(b"P6\n4 4\n255\n" + bytes([128, 128, 128] * 16))
+    small = resize_nearest(const, 2, 2)
+    assert small.shape == (2, 2, 3)
+    feats = image_features(const, 8)
+    assert len(feats) == 8
+    assert all(abs(f - 128 / 255) < 1e-6 for f in feats)
+
+
+def test_extract_features_real_and_fallback(spark):
     media = gen_media_df(spark, 30)
     feats = extract_features(media, dim=8)
     rows = {r["media_id"]: r for r in feats.collect()}
     assert len(rows) == 30
     for i, r in rows.items():
         assert r["feat_dim"] == 8 and len(r["feat"]) == 8
-        assert "PIL" in r["decode_error"] or "libvips" in r["decode_error"]
-        payload = hashlib.sha256(f"media-{i}".encode()).digest() * 8
-        want = _fake_features(payload, 8)
-        # feat column is float32; compare within single-precision tolerance
-        assert all(abs(a - b) < 1e-6 for a, b in zip(r["feat"], want))
+        if i % 3 == 0:  # image rows: REAL decode, no error
+            assert r["decode_error"] is None
+            want = image_features(decode_image(gen_ppm(16, 12, seed=i)), 8)
+            assert all(abs(a - b) < 1e-6 for a, b in zip(r["feat"], want))
+        else:  # audio/video: recorded error + deterministic fallback
+            assert "native codec" in r["decode_error"] or "decode" in r["decode_error"]
+            payload = hashlib.sha256(f"media-{i}".encode()).digest() * 8
+            want = _fake_features(payload, 8)
+            assert all(abs(a - b) < 1e-6 for a, b in zip(r["feat"], want))
 
 
 def test_frame_sample_plan_counts(spark):

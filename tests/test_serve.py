@@ -39,3 +39,42 @@ def test_predict_voted_matches_batch_vote(spark):
                 assert serve["selection_rule"] is None, key
                 checked_filtered += 1
     assert checked_selected > 0 and checked_filtered > 0
+
+
+def test_http_predict_socket_parity():
+    """S9 socket-level: POST /predict and GET /info over a real HTTP
+    round-trip match the api.py:44-60 contract (result record shape,
+    'Model Failed' on bad payloads)."""
+    import json
+    import threading
+    import urllib.request
+
+    from thesis_ner_co_tri_training_spark.serve import make_http_server
+
+    srv = make_http_server(port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        req = urllib.request.Request(
+            f"{base}/predict",
+            data=json.dumps({"sentence": "Angela Merkel besucht Berlin"}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            out = json.loads(resp.read())
+        assert out["result"] == predict("Angela Merkel besucht Berlin")
+        assert all(set(d) == {"word", "tag", "confidence"} for d in out["result"])
+
+        # api.py:53-55 failure contract: 200 + {"result": "Model Failed"}
+        bad = urllib.request.Request(
+            f"{base}/predict", data=b'{"nope": 1}',
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(bad, timeout=10) as resp:
+            assert json.loads(resp.read()) == {"result": "Model Failed"}
+
+        with urllib.request.urlopen(f"{base}/info", timeout=10) as resp:
+            info = json.loads(resp.read())
+        assert "config" in info and info["config"]["views"] == 3
+    finally:
+        srv.shutdown()
+        srv.server_close()

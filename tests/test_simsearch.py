@@ -64,6 +64,31 @@ def test_lsh_topk_subset_with_exact_scores(spark, data):
     assert 3 in q0
 
 
+def test_multiprobe_recall_increases(spark, data):
+    """Recall vs brute-force top-k rises monotonically with probe count at
+    fixed bits, hits 1.0 when every bucket is probed, and probed scores
+    stay exact."""
+    cands, queries, cdf, qdf = data
+    exact = {}
+    for r in cosine_topk(cdf, qdf, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(probes):
+        got = {}
+        rows = lsh_topk(cdf, qdf, dim=DIM, k=10, bits=4, probes=probes).collect()
+        cvec, qvec = dict(cands), dict(queries)
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+            want = round(_cos(cvec[r["vec_id"]], qvec[r["query_id"]]), 4)
+            assert abs(r["cosine"] - want) < 1e-9
+        hits = sum(len(got.get(q, set()) & e) for q, e in exact.items())
+        return hits / sum(len(e) for e in exact.values())
+
+    r0, r2, r4 = recall(0), recall(2), recall(4)
+    assert r0 <= r2 <= r4
+    assert r4 > r0  # probing extra buckets must find something new here
+
+
 def test_hyperplane_signature_deterministic(spark, data):
     _, _, cdf, _ = data
     a = {r["vec_id"]: r["bucket"]

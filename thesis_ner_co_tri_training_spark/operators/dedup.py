@@ -253,11 +253,25 @@ def hamming_pairs(sim_df: DataFrame, id_col: str = "doc_id",
 
 def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
-                        threshold: float = 0.95) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (brute force all-pairs).
+                        threshold: float = 0.95,
+                        bucketed: bool = True,
+                        dim: int | None = None,
+                        bits: int = 6, bands: int = 4,
+                        seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a, b, cosine).
 
-    For corpora where all-pairs is infeasible, bucket with
-    simsearch.hyperplane_lsh first and run this within buckets.
+    bucketed=True (the default — the only shape that survives 100 TB):
+    `bands` independent random-hyperplane signatures of `bits` bits each
+    (OR-banding); ids colliding in ANY band become candidates, then the
+    EXACT cosine verifies within candidates. Output is therefore always a
+    subset of brute force with zero false positives; recall is the
+    standard 1-(1-p^bits)^bands with p = 1 - theta/pi (for cos >= 0.95,
+    bits=6 x bands=4 gives ~0.95+). The shuffle is keyed by
+    (band, bucket) — uniform by construction.
+
+    bucketed=False: O(n^2) all-pairs cross join — the oracle/contract
+    path (q17 compares it against a DuckDB cross join at sf0.01); never
+    the default.
     """
     v = emb.select(
         F.col(id_col),
@@ -266,7 +280,6 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
             F.col(vec_col).cast("array<double>"),
             F.lit(0.0), lambda a, x: a + x * x)).alias("nrm"),
     )
-    l, r = v.alias("l"), v.alias("r")
     dot = F.aggregate(
         F.zip_with(F.col("l.v"), F.col("r.v"), lambda x, y: x * y),
         F.lit(0.0), lambda a, x: a + x,
@@ -274,9 +287,38 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
     cos = F.when(
         (F.col("l.nrm") == 0) | (F.col("r.nrm") == 0), F.lit(0.0)
     ).otherwise(dot / (F.col("l.nrm") * F.col("r.nrm")))
+    l, r = v.alias("l"), v.alias("r")
+    if not bucketed:
+        joined = l.join(r, F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    else:
+        from .simsearch import hyperplane_signature
+
+        if dim is None:
+            # metadata probe: one element, one row
+            dim = emb.select(F.size(vec_col)).first()[0]
+        banded = None
+        for band in range(bands):
+            s = hyperplane_signature(
+                emb.select(id_col, vec_col), dim, bits, vec_col, seed + band
+            ).select(id_col, F.lit(band).alias("band"), "bucket")
+            banded = s if banded is None else banded.unionByName(s)
+        cand = (
+            banded.alias("cl").join(
+                banded.alias("cr"),
+                (F.col("cl.band") == F.col("cr.band"))
+                & (F.col("cl.bucket") == F.col("cr.bucket"))
+                & (F.col(f"cl.{id_col}") < F.col(f"cr.{id_col}")),
+            )
+            .select(F.col(f"cl.{id_col}").alias("__a"),
+                    F.col(f"cr.{id_col}").alias("__b"))
+            .distinct()
+        )
+        joined = (
+            cand.join(l, F.col("__a") == F.col(f"l.{id_col}"))
+            .join(r, F.col("__b") == F.col(f"r.{id_col}"))
+        )
     return (
-        l.join(r, F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(
+        joined.select(
             F.col(f"l.{id_col}").alias("a"),
             F.col(f"r.{id_col}").alias("b"),
             F.round(cos, 4).alias("cosine"),

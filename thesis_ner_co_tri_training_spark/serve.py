@@ -37,33 +37,88 @@ def predict_voted(
 
     Returns {'tokens', 'tags', 'confidences', 'selection_rule'};
     selection_rule is None when no rotation passes and views disagree
-    (the sentence would be filtered in batch).
+    (the sentence would be filtered in batch). Delegates to the same
+    vote_sentence_flat the batch/streaming fused pass runs — serving and
+    batch cannot drift.
     """
     from .functions.simfn import avg_confident_score_flat, cosine_similarity
+    from .operators.mentions import vote_sentence_flat
 
     tokens, views = tag_all_views_flat(sentence)
     tags = [v[0] for v in views]
     confs = [v[1] for v in views]
     cfd = [avg_confident_score_flat(t, c) for t, c in views]
-    cos = {
-        (0, 1): cosine_similarity(tags[0], tags[1]),
-        (1, 2): cosine_similarity(tags[1], tags[2]),
-        (0, 2): cosine_similarity(tags[0], tags[2]),
+    cosines = [cosine_similarity(tags[0], tags[1]),
+               cosine_similarity(tags[1], tags[2]),
+               cosine_similarity(tags[0], tags[2])]
+    picked = vote_sentence_flat(tags, confs, cfd, cosines,
+                                cos_threshold, tcfd_threshold, scfd_threshold)
+    if picked is None:
+        return {"tokens": tokens, "tags": None, "confidences": None,
+                "selection_rule": None}
+    v_tags, v_confs, rule, _cos = picked
+    return {"tokens": tokens, "tags": v_tags,
+            "confidences": v_confs, "selection_rule": rule}
+
+
+def engine_info() -> dict[str, Any]:
+    """GET /info payload (api.py:57-60 serves model_config.json; the
+    engine's analog is its vote/view configuration)."""
+    return {
+        "engine": "thesis_ner_co_tri_training_spark",
+        "views": 3,
+        "vote": {"cos_threshold": 0.7, "tcfd_threshold": 0.7,
+                 "scfd_threshold": 0.6},
+        "response_shape": ["word", "tag", "confidence"],
     }
-    rotations = [((0, 1), 2, "rot_12_3"), ((1, 2), 0, "rot_23_1"),
-                 ((0, 2), 1, "rot_13_2")]
-    for (a, b), s, rule in rotations:
-        if (cos[(a, b)] > cos_threshold
-                and min(cfd[a], cfd[b]) > tcfd_threshold
-                and cfd[s] < scfd_threshold):
-            if tags[a] == tags[b] or cfd[a] > cfd[b]:
-                pick = a
+
+
+def make_http_server(port: int = 0):
+    """Socket-level S9 parity: the reference's Flask routes (api.py:44-60)
+    on the stdlib ThreadingHTTPServer — no new dependencies.
+
+      POST /predict {"sentence": ...} -> {"result": [{word,tag,confidence}]}
+      GET  /info                      -> {"config": {...}}
+      model failure                   -> {"result": "Model Failed"}
+                                         (api.py:53-55 contract)
+
+    Returns the server (not started); call serve_forever() in a thread and
+    shutdown() to stop. port=0 binds an ephemeral port (server_port tells).
+    Per-request tagging is a driver-side convenience — production QPS
+    should front the materialized mentions table instead (SURVEY §2.1).
+    """
+    import json as _json
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, obj: dict, code: int = 200) -> None:
+            body = _json.dumps(obj).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (stdlib API name)
+            if self.path == "/info":
+                self._send({"config": engine_info()})
             else:
-                pick = b
-            return {"tokens": tokens, "tags": tags[pick],
-                    "confidences": confs[pick], "selection_rule": rule}
-    if tags[0] == tags[1] == tags[2]:
-        return {"tokens": tokens, "tags": tags[0],
-                "confidences": confs[0], "selection_rule": "unanimous"}
-    return {"tokens": tokens, "tags": None, "confidences": None,
-            "selection_rule": None}
+                self._send({"error": "not found"}, 404)
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/predict":
+                self._send({"error": "not found"}, 404)
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                payload = _json.loads(self.rfile.read(n) or b"{}")
+                text = payload["sentence"]
+                self._send({"result": predict(text)})
+            except Exception:
+                # api.py:53-55: failures answer 200 {"result":"Model Failed"}
+                self._send({"result": "Model Failed"})
+
+        def log_message(self, *args):  # quiet test runs
+            pass
+
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
