@@ -60,32 +60,37 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
 
 
 def token_shingles_long(df: DataFrame, id_col: str = "doc_id",
-                        text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc, LONG form (id, s).
+                        text_col: str = "text", n: int = 3,
+                        distinct: bool = True) -> DataFrame:
+    """Word n-gram shingles per doc, LONG form (id, s).
 
-    posexplode + window-lead instead of an array higher-order function:
-    HOF lambdas don't codegen AND Catalyst inlines the split() projection
-    into every lambda reference (size(toks) per element -> the tokenizer
-    regex re-runs O(tokens) times per row, ~10x the whole query). Here
-    split() is evaluated exactly ONCE per row in the generator, and the
-    window + distinct run in whole-stage codegen. The (id, pos) window
-    shuffle is keyed by doc — uniform, and exactly the shuffle a 100TB
-    shingling job wants (co-locates each doc's tokens once).
+    Catalyst inlines a split() projection into every lambda reference of
+    an array HOF (the tokenizer regex would re-run O(tokens) times per
+    row, ~10x the whole query), so the token array is materialized behind
+    an Exchange first: the shuffle writes the computed array once, and
+    every downstream slice/size reference reads an attribute. One compact
+    doc-row shuffle replaces the previous token-explode + window-lead
+    shuffle of every token row — strictly fewer bytes at any scale.
+
+    distinct=False skips the per-doc shingle dedup shuffle; callers whose
+    aggregate is duplicate-insensitive (minhash min()) save a full
+    shuffle of the exploded shingle stream.
     """
-    from pyspark.sql import Window
-
-    toks = df.select(
-        id_col, F.posexplode(F.split(NORM(F.col(text_col)), " ")).alias("pos", "t")
+    target = df.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        df.select(id_col, F.split(NORM(F.col(text_col)), " ").alias("__t"))
+        .repartition(target)  # materialization barrier for __t
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    leads = [F.col("t")] + [F.lead("t", k).over(w) for k in range(1, n)]
-    return (
-        toks.select(id_col, F.concat_ws(" ", *leads).alias("s"),
-                    leads[-1].alias("__last"))
-        .filter(F.col("__last").isNotNull())
-        .select(id_col, "s")
-        .distinct()
+    shingle = (
+        f"transform(sequence(0, size(__t) - {n}), "
+        f"i -> concat_ws(' ', slice(__t, i + 1, {n})))"
     )
+    out = toks.select(
+        id_col,
+        F.explode(F.when(F.size("__t") >= n, F.expr(shingle))
+                  .otherwise(F.array().cast("array<string>"))).alias("s"),
+    )
+    return out.distinct() if distinct else out
 
 
 def token_shingles(df: DataFrame, id_col: str = "doc_id",
@@ -127,7 +132,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     # interpreted higher-order folds: num_hashes parallel mins over
     # (doc, shingle) rows run in whole-stage codegen with map-side partial
     # aggregation, and the shuffle carries only num_hashes longs per doc.
-    ex = token_shingles_long(_widen(df), id_col, text_col, n)
+    # distinct=False: min() is duplicate-insensitive, so the shingle
+    # dedup shuffle would be pure waste here. (No _widen: the shingle
+    # helper's own materialization barrier already spreads partitions.)
+    ex = token_shingles_long(df, id_col, text_col, n, distinct=False)
     sig = ex.groupBy(id_col).agg(*[
         F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
     ])
