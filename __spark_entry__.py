@@ -168,7 +168,13 @@ def q05_avg_cfd(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q06_cosine_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6/A2: bag-of-tags cosine between doc d and doc d+1 (relational form)."""
     m = _mentions(spark, sf_dir)
-    counts = m.groupBy("doc_id", "tag").agg(F.count(F.lit(1)).alias("cnt"))
+    # counts is the compact point (|docs| x |tags| rows) referenced by all
+    # four join legs — materialize once instead of re-deriving mentions
+    # per leg (exchange reuse catches some of it; the cut makes it all).
+    counts = (
+        m.groupBy("doc_id", "tag").agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     a = counts.select(F.col("doc_id").alias("a"), "tag", F.col("cnt").alias("ca"))
     b = counts.select((F.col("doc_id") - 1).alias("a"), "tag", F.col("cnt").alias("cb"))
     dots = (

@@ -141,3 +141,42 @@ def test_random_draw_deterministic(spark):
     a = sorted(r["id"] for r in random_draw(df, 20, seed=7).collect())
     b = sorted(r["id"] for r in random_draw(spark.range(500), 20, seed=7).collect())
     assert a == b and len(a) == 20
+
+
+def test_reference_split_indices_golden():
+    """Pin the sklearn-replica split against hand-verifiable numpy goldens
+    (RandomState(1).permutation is the documented ShuffleSplit source of
+    randomness; slicing follows sklearn's ceil(test_size*n) rule)."""
+    import numpy as np
+
+    from thesis_ner_co_tri_training_spark.operators.selection import (
+        reference_split_indices)
+
+    perm10 = list(np.random.RandomState(1).permutation(10))
+    train, dev, test = reference_split_indices(10, seed=1)
+    # stage 1: test = first ceil(10*0.1)=1 of the permutation
+    assert test == [perm10[0]]
+    # stage 2 operates on the remaining 9 IN PERMUTED ORDER
+    stage1_train = [perm10[i] for i in range(1, 10)]
+    perm9 = list(np.random.RandomState(1).permutation(9))
+    n_dev = 2  # ceil(9 * 2/9)
+    assert dev == [stage1_train[i] for i in perm9[:n_dev]]
+    assert train == [stage1_train[i] for i in perm9[n_dev:]]
+    # partition of range(n), 70/20/10 shape
+    assert sorted(train + dev + test) == list(range(10))
+    tr, dv, te = reference_split_indices(11258, seed=1)  # README.md:138 corpus
+    assert (len(te), len(dv)) == (1126, 2252) and len(tr) == 7880
+
+
+def test_train_dev_test_split_exact(spark):
+    from thesis_ner_co_tri_training_spark.operators.selection import (
+        reference_split_indices, train_dev_test_split_exact)
+
+    df = spark.createDataFrame([(i, f"s{i}") for i in range(97)],
+                               "pos bigint, text string")
+    train, dev, test = train_dev_test_split_exact(df, "pos", n_rows=97)
+    want_tr, want_dv, want_te = reference_split_indices(97)
+    for got_df, want in ((train, want_tr), (dev, want_dv), (test, want_te)):
+        rows = sorted(got_df.collect(), key=lambda r: r["split_pos"])
+        assert [r["pos"] for r in rows] == want  # membership AND order
+    assert train.count() + dev.count() + test.count() == 97

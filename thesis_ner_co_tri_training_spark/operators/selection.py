@@ -234,8 +234,64 @@ def single_tag_subset(df: DataFrame, tag: str, fix_len: int | None = None,
 
 def train_dev_test_split(df: DataFrame, seed: int = 1) -> list[DataFrame]:
     """R1: 70/20/10 split (utils.py:34-37; statistically equivalent —
-    randomSplit, not row-identical to sklearn's shuffle)."""
+    randomSplit, not row-identical to sklearn's shuffle). For exact row
+    identity with the reference see train_dev_test_split_exact."""
     return df.randomSplit([0.7, 0.2, 0.1], seed=seed)
+
+
+def reference_split_indices(n: int, seed: int = 1
+                            ) -> tuple[list[int], list[int], list[int]]:
+    """Replicates utils.py:34-37's TWO chained sklearn train_test_split
+    calls (test_size=0.1 then 2/9, random_state=1 both times) using only
+    numpy: sklearn's ShuffleSplit draws RandomState(seed).permutation(n),
+    test = perm[:ceil(n*test_size)], train = the rest IN PERMUTED ORDER —
+    and the second call permutes the first call's train list again.
+    Returns (train, dev, test) as 0-based corpus positions, each in the
+    exact order the reference's lists would carry.
+    """
+    import numpy as np
+
+    def one(idx: list[int], test_size: float, rs: int):
+        m = len(idx)
+        n_test = int(np.ceil(m * test_size))
+        perm = np.random.RandomState(rs).permutation(m)
+        test = [idx[i] for i in perm[:n_test]]
+        train = [idx[i] for i in perm[n_test:]]
+        return train, test
+
+    train1, test = one(list(range(n)), 0.1, seed)
+    train, dev = one(train1, 2 / 9, seed)
+    return train, dev, test
+
+
+def train_dev_test_split_exact(df: DataFrame, pos_col: str,
+                               n_rows: int | None = None,
+                               seed: int = 1) -> list[DataFrame]:
+    """R1, row-identical form: membership AND within-split order match the
+    reference's sklearn split (utils.py:34-37) exactly.
+
+    pos_col = the 0-based corpus position of each row (the list index the
+    reference's preprocessor would have given it). The assignment table
+    is built driver-side and broadcast — the labeled corpus this mirrors
+    is thesis-scale (~10^4 sentences; README.md:138 says 11,258); for
+    corpus-scale splits use train_dev_test_split (randomSplit, fully
+    distributed).
+
+    Each returned DataFrame carries `split_pos`: the row's index within
+    the reference's returned (permuted) list.
+    """
+    spark = df.sparkSession
+    if n_rows is None:
+        n_rows = df.count()
+    parts = reference_split_indices(n_rows, seed)
+    out = []
+    for idx in parts:
+        assign = spark.createDataFrame(
+            [(int(p), i) for i, p in enumerate(idx)],
+            f"{pos_col} bigint, split_pos int",
+        )
+        out.append(df.join(F.broadcast(assign), pos_col))
+    return out
 
 
 def random_draw(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
