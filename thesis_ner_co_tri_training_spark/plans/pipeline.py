@@ -133,11 +133,28 @@ def run_pipeline(
     )
 
     def build_nodes():
-        return entities.select(
-            "entity_id",
-            "canonical",
-            F.lit(None).cast("string").alias("entity_type"),
-            "n_mentions",
+        # entity_type = majority tag over the entity's mentions (ties
+        # break lexicographically) — mention tables are long-form, so
+        # this is one keyed count + one row_number over the tiny
+        # (entity, tag) table.
+        from pyspark.sql import Window
+
+        s2e = surface_to_entity(
+            mentions.select("surface").distinct(), entities
+        ).select("surface", "entity_id")
+        tag_counts = (
+            mentions.join(F.broadcast(s2e), "surface")
+            .groupBy("entity_id", "tag")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("entity_id").orderBy(F.col("c").desc(), "tag")
+        etype = (
+            tag_counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("entity_id", F.col("tag").alias("entity_type"))
+        )
+        return entities.join(etype, "entity_id", "left").select(
+            "entity_id", "canonical", "entity_type", "n_mentions"
         )
 
     def build_edges():
