@@ -78,3 +78,22 @@ def test_no_resume_overwrites_and_bumps_snapshot_id(spark, warehouse):
     lineage = run_pipeline(spark, pages, wh, resume=False)
     assert all(not lineage[s].get("resumed") for s in STAGES)
     assert lineage["sentences"]["snapshot_id"] >= 1  # history retained
+
+
+def test_edges_partition_pruning(spark, warehouse):
+    """edges is written partitioned by pred; a pred filter must prune to
+    that partition directory (PartitionFilters in the scan, one pred dir
+    on disk touched) — the read pattern a 100TB graph table relies on."""
+    import re
+
+    wh, _ = warehouse
+    edges_dir = os.path.join(wh, "edges", "data")
+    pred_dirs = [d for d in os.listdir(edges_dir) if d.startswith("pred=")]
+    assert len(pred_dirs) > 1, "fixture produced a single predicate"
+    one_pred = pred_dirs[0].split("=", 1)[1]
+    df = spark.read.parquet(edges_dir).filter(f"pred = '{one_pred}'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "pred" in m.group(1), plan[:2000]
+    # and the rows really are only that partition's
+    assert {r["pred"] for r in df.select("pred").distinct().collect()} == {one_pred}
