@@ -177,14 +177,20 @@ def q06_cosine_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = counts.select(F.col("doc_id").alias("a"), "tag", F.col("cnt").alias("ca"))
     b = counts.select((F.col("doc_id") - 1).alias("a"), "tag", F.col("cnt").alias("cb"))
-    dots = (
-        a.join(b, ["a", "tag"])
+    # ONE full-outer join on (a, tag) + ONE keyed aggregate produce dot
+    # AND both norms simultaneously (nulls on the absent side contribute
+    # 0 to the dot and are skipped by the squared sums; an all-null side
+    # sums to NULL = "that doc has no mentions", exactly the old 3-join
+    # form's semantics at less than half the shuffles).
+    per = (
+        a.join(b, ["a", "tag"], "full_outer")
         .groupBy("a")
-        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+        .agg(
+            F.sum(F.coalesce("ca", F.lit(0)) * F.coalesce("cb", F.lit(0))).alias("dot"),
+            F.sum(F.col("ca") * F.col("ca")).alias("na2"),
+            F.sum(F.col("cb") * F.col("cb")).alias("nb2"),
+        )
     )
-    norms = counts.groupBy("doc_id").agg(F.sum(F.col("cnt") * F.col("cnt")).alias("n2"))
-    na = norms.select(F.col("doc_id").alias("a"), F.col("n2").alias("na2"))
-    nb = norms.select((F.col("doc_id") - 1).alias("a"), F.col("n2").alias("nb2"))
     docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("a"))
     # Scalar subquery instead of a driver-side collect: the 1-row max
     # aggregate is broadcast-joined (no extra blocking job in the plan).
@@ -192,7 +198,7 @@ def q06_cosine_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = docs.join(F.broadcast(mx)).filter(
         F.col("a") < F.col("__max_id")).select("a")
     return (
-        pairs.join(na, "a", "left").join(nb, "a", "left").join(dots, "a", "left")
+        pairs.join(per, "a", "left")
         .select(
             "a",
             (F.col("a") + 1).alias("b"),
