@@ -56,3 +56,62 @@ def test_avg_cfd_jvm_python_parity(spark, rows):
     want = [avg_confident_score(
         [{"tag": t, "confidence": float(c)} for t, c in row]) for row in rows]
     assert got == pytest.approx(want, abs=1e-9)
+
+
+# --- fused Python vote vs the relational JVM vote, adversarial inputs ---
+
+
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=6).flatmap(
+            lambda n: st.tuples(
+                *[st.lists(TAGS, min_size=n, max_size=n) for _ in range(3)],
+                st.lists(st.floats(0, 1, allow_nan=False), min_size=n, max_size=n),
+            )
+        ),
+        min_size=1, max_size=12,
+    ),
+    st.sampled_from([0.5, 0.7, 0.9]),
+)
+@SET
+def test_vote_sentence_flat_matches_jvm_vote(spark, rows, cos_thr):
+    """Random tri-view tag lists + confidences: the pure-Python fused vote
+    must agree with vote_mentions' JVM CASE chain row-by-row (kept/dropped,
+    rule, picked tags) — beyond the corpus-shaped parity in
+    test_fused_vote, this drives arbitrary tag patterns through both."""
+    from thesis_ner_co_tri_training_spark.functions.simfn import (
+        avg_confident_score_flat)
+    from thesis_ner_co_tri_training_spark.operators.mentions import (
+        vote_mentions, vote_sentence_flat)
+
+    scored = []
+    for (t1, t2, t3, confs) in rows:
+        cfds = [float(avg_confident_score_flat(t, confs, ignore_o=True))
+                for t in (t1, t2, t3)]
+        cosines = [cosine_similarity(t1, t2), cosine_similarity(t2, t3),
+                   cosine_similarity(t1, t3)]
+        scored.append((cfds, cosines))
+    data = [
+        ("u", i, [f"w{j}" for j in range(len(t1))], t1, t2, t3,
+         confs, confs, confs, *scored[i][0], *scored[i][1])
+        for i, (t1, t2, t3, confs) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "url string, sent_id long, tokens array<string>, "
+        "t1_tags array<string>, t2_tags array<string>, t3_tags array<string>, "
+        "t1_confs array<double>, t2_confs array<double>, t3_confs array<double>, "
+        "t1_cfd double, t2_cfd double, t3_cfd double, "
+        "cos12 double, cos23 double, cos13 double",
+    )
+    jvm = {r["sent_id"]: (list(r["tags"]), r["selection_rule"])
+           for r in vote_mentions(df, cos_threshold=cos_thr).collect()}
+    for i, (t1, t2, t3, confs) in enumerate(rows):
+        cfds, cosines = scored[i]
+        got = vote_sentence_flat([t1, t2, t3], [confs] * 3, cfds, cosines,
+                                 cos_thr, 0.7, 0.6)
+        if got is None:
+            assert i not in jvm, (i, jvm.get(i))
+        else:
+            assert i in jvm, i
+            assert jvm[i] == (got[0], got[2]), i
