@@ -148,3 +148,34 @@ def test_triples_stream_matches_batch(spark, pages_dir):
     voted = vote_mentions(tag_pages_df(pages.drop("text")))
     want = {tuple(r) for r in extract_triples(voted).collect()}
     assert got == want and want
+
+
+def test_dedup_pages_stream_drops_recrawls(spark, tmp_path):
+    """The same urls delivered twice (recrawl) must be processed once:
+    mentions through dedup_pages_stream == single-copy batch mentions,
+    while the un-deduped stream double-counts."""
+    from thesis_ner_co_tri_training_spark.streaming import dedup_pages_stream
+
+    d = str(tmp_path / "recrawl")
+    gen_pages_df(spark, 8, partitions=2).write.mode("append").parquet(d)
+    gen_pages_df(spark, 8, partitions=2).write.mode("append").parquet(d)  # redelivery
+
+    def run(dedup: bool, name: str) -> int:
+        pages = read_pages_stream(spark, d, max_files_per_trigger=2)
+        if dedup:
+            pages = dedup_pages_stream(pages)
+        q = (mentions_stream(pages).writeStream.format("memory")
+             .queryName(name).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark.sql(f"SELECT count(*) c FROM {name}").collect()[0]["c"]
+
+    n_batch = _batch_mentions_n(spark, 8)
+    assert run(False, "m_dup") == 2 * n_batch
+    assert run(True, "m_dedup") == n_batch
+
+
+def _batch_mentions_n(spark, n_pages: int) -> int:
+    pages = gen_pages_df(spark, n_pages, partitions=2)
+    voted = vote_mentions(tag_sentences_df(explode_sentences(pages.drop("text"))))
+    return mentions_table(voted).count()

@@ -1,4 +1,5 @@
 from .ingest import (  # noqa: F401
+    dedup_pages_stream,
     mention_rates_stream,
     mentions_stream,
     read_pages_stream,

@@ -122,3 +122,18 @@ def start_mentions_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_pages_stream(pages: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Cross-micro-batch recrawl dedup on url.
+
+    A crawl feed re-delivers pages (refetches, mirror hosts, retried
+    WARCs); processing a url twice double-counts its mentions in every
+    downstream table. dropDuplicatesWithinWatermark keys state by url and
+    expires entries once the warc_ts watermark passes them — the state
+    store holds only the horizon's urls (bounded), not crawl history,
+    which is the only dedup shape that survives an unbounded stream.
+    """
+    return pages.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
