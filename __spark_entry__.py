@@ -660,6 +660,18 @@ def q30_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges).orderBy("node")
 
 
+def q31_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus admission filter (CCNet/Gopher-style composite of
+    the q13/q14/q15 signals): language allowlist + token band + quality
+    threshold; drop_reason = first failing gate, null = admitted."""
+    from thesis_ner_co_tri_training_spark.operators.textstats import filter_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return filter_corpus(docs, min_quality=0.5, max_tokens=2000).select(
+        "doc_id", "lang_pred", "n_tokens", "quality", "drop_reason"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -692,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_paragraph_dedup": q28_paragraph_dedup,
         "q29_entity_degrees": q29_entity_degrees,
         "q30_components": q30_components,
+        "q31_corpus_filter": q31_corpus_filter,
     }
 
 
@@ -1092,6 +1105,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_deg,
                    CAST(coalesce(o.out_deg, 0) + coalesce(i.in_deg, 0) AS BIGINT) AS degree
             FROM outd o FULL OUTER JOIN ind i ON o.node = i.node
+        """,
+        "q31_corpus_filter": lang_base + """
+            , alpha AS (
+                SELECT doc_id,
+                       len(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
+                       len(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace
+                FROM documents
+            ),
+            distincts AS (
+                SELECT doc_id, len(list_distinct(toks)) AS n_distinct FROM counted
+            ),
+            q AS (
+                SELECT r.doc_id,
+                       CAST(r.n_tokens AS INTEGER) AS n_tokens,
+                       CASE WHEN greatest(sw_en, sw_de, sw_es, sw_fr) <= 0.0 THEN 'und'
+                            WHEN sw_fr >= sw_es AND sw_fr >= sw_en AND sw_fr >= sw_de THEN 'fr'
+                            WHEN sw_es >= sw_en AND sw_es >= sw_de THEN 'es'
+                            WHEN sw_en >= sw_de THEN 'en'
+                            ELSE 'de' END AS lang_pred,
+                       round((
+                           least(r.n_tokens / 100.0, 1.0)
+                           + CASE WHEN a.n_nonspace = 0 THEN 0.0
+                                  ELSE CAST(a.n_alpha AS DOUBLE) / a.n_nonspace END
+                           + least(greatest(sw_en, sw_de, sw_es, sw_fr) / 0.3, 1.0)
+                           + CASE WHEN r.n_tokens = 0 THEN 0.0
+                                  ELSE CAST(d.n_distinct AS DOUBLE) / r.n_tokens END
+                       ) / 4, 4) AS quality
+                FROM ratios r JOIN alpha a ON r.doc_id = a.doc_id
+                JOIN distincts d ON r.doc_id = d.doc_id
+            )
+            SELECT doc_id, lang_pred, n_tokens, quality,
+                   CASE WHEN lang_pred NOT IN ('en', 'de', 'es', 'fr') THEN 'lang'
+                        WHEN n_tokens < 10 THEN 'too_short'
+                        WHEN n_tokens > 2000 THEN 'too_long'
+                        WHEN quality < 0.5 THEN 'low_quality' END AS drop_reason
+            FROM q
         """,
         "q30_components": """
             WITH RECURSIVE e0 AS (

@@ -183,3 +183,52 @@ def test_embedding_near_dups_bucketed_matches_brute(spark):
     assert set(lsh) <= set(brute)  # exact verify: no false positives ever
     assert lsh == brute            # full recall on this fixture
     assert any(b == a + 1 for a, b in brute)  # planted pairs were found
+
+
+def test_near_dup_clusters_fixture(spark, docs):
+    """On the known 5-doc fixture: docs 1/2/3/4 form one near-dup cluster
+    (1 is the keeper), doc 5 is a singleton keeper."""
+    from thesis_ner_co_tri_training_spark.operators.dedup import near_dup_clusters
+
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"])
+           for r in near_dup_clusters(docs, jaccard_threshold=0.5).collect()}
+    assert got == {1: (1, True), 2: (1, False), 3: (1, False),
+                   4: (1, False), 5: (5, True)}
+
+
+def test_near_dup_clusters_value_oracle(spark):
+    """sf0.01 end-to-end vs the pure-Python chain: XXH64 minhash pairs ->
+    python Jaccard verify -> union-find."""
+    import duckdb
+
+    from tests.test_hash_oracles import _norm_tokens, _oracle_minhash_pairs
+    from tests.test_linking import union_find
+    from thesis_ner_co_tri_training_spark.operators.dedup import near_dup_clusters
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, text FROM read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    ).fetchall()
+    con.close()
+
+    def shingles(text):
+        toks = _norm_tokens(text)
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    texts = dict(rows)
+    cands = _oracle_minhash_pairs(rows)
+    verified = []
+    for a, b in cands:
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        j = round(len(sa & sb) / len(sa | sb), 4) if sa | sb else 0.0
+        if j >= 0.8:
+            verified.append((a, b))
+    nodes = {x for e in verified for x in e}
+    uf = union_find(nodes, verified)
+    want = {i: (uf.get(i, i), uf.get(i, i) == i) for i in texts}
+
+    df = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"])
+           for r in near_dup_clusters(df).collect()}
+    assert got == want
+    assert any(not keep for _, keep in got.values())  # real dups exist

@@ -382,3 +382,50 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
              - F.coalesce(F.col("__n_kept"), F.lit(0))).alias("n_removed"),
         )
     )
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int = 64,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """The actionable form of near-dup detection: every doc labeled with
+    its duplicate-cluster id and a keep/drop decision.
+
+    minhash-LSH candidates -> exact n-gram Jaccard verify -> alternating
+    large/small-star connected components over the verified pairs ->
+    cluster_id = the cluster's minimum doc id, keep = (id == cluster_id)
+    (deterministic keeper; singletons keep themselves). This is what a
+    corpus-scale dedup job writes back next to the corpus — pairs alone
+    are not consumable downstream.
+
+    Output: (id_col, cluster_id, keep). Ids are zero-padded through the
+    string-keyed CC and cast back, so lexicographic == numeric order.
+    """
+    from .linking import connected_components
+
+    pairs = minhash_lsh_pairs(df, id_col, text_col, n, num_hashes, bands,
+                              max_bucket)
+    verified = ngram_jaccard_pairs(df, pairs, id_col, text_col, n,
+                                   jaccard_threshold)
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")
+    comps = connected_components(
+        verified.select(pad("a").alias("a"), pad("b").alias("b"))
+    )
+    m = comps.select(
+        F.col("node").cast("bigint").alias(id_col),
+        F.col("comp").cast("bigint").alias("cluster_id"),
+    )
+    return (
+        df.select(id_col).join(m, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            (F.coalesce("cluster_id", F.col(id_col)) == F.col(id_col)).alias("keep"),
+        )
+    )

@@ -121,3 +121,31 @@ def fingerprint(df: DataFrame, text_col: str = "text",
         "fp_head": F.md5(F.substring(norm, 1, head_chars)),
         "fp_full": F.md5(norm),
     })
+
+
+def filter_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en", "de", "es", "fr"),
+    min_tokens: int = 10,
+    max_tokens: int = 100000,
+) -> DataFrame:
+    """Training-corpus admission filter (CCNet/Gopher-style gates over the
+    cheap signals above): language allowlist, token-length band, composite
+    quality threshold.
+
+    Adds `drop_reason` — the FIRST failing gate in fixed order
+    (lang -> too_short -> too_long -> low_quality); null = admitted.
+    Every row is carried (C5 rule: no silent drops); callers filter on
+    drop_reason IS NULL and feed the grouped reasons into stage metrics.
+    All gates are single-pass JVM expressions over one scan.
+    """
+    d = quality_score(df, text_col)
+    reason = (
+        F.when(~F.col("lang_pred").isin(*langs), F.lit("lang"))
+        .when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("n_tokens") > max_tokens, F.lit("too_long"))
+        .when(F.col("quality") < min_quality, F.lit("low_quality"))
+    )
+    return d.withColumn("drop_reason", reason)
