@@ -113,3 +113,25 @@ def test_simhash_value_oracle(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     got = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
     assert got == want
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.01"])
+def test_hamming_pairs_value_oracle(spark, sf_dir):
+    """hamming_pairs' quarter-blocking is LOSSLESS at max_distance <= 3
+    (pigeonhole over four 16-bit quarters), so a brute-force python pass
+    over the oracle simhashes is the exact expected pair set."""
+    from thesis_ner_co_tri_training_spark.operators.dedup import hamming_pairs
+
+    docs = _docs(sf_dir)
+    sims = _oracle_simhash(docs)
+    ids = sorted(sims)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin((sims[a] ^ sims[b]) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                want[(a, b)] = d
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {(r["a"], r["b"]): r["hamming"]
+           for r in hamming_pairs(simhash(df)).collect()}
+    assert got == want
