@@ -672,6 +672,17 @@ def q31_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q32_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-line fraction + top
+    word-2-gram share per document (pretraining-data quality gates)."""
+    from thesis_ner_co_tri_training_spark.operators.textstats import (
+        repetition_stats)
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs).select(
+        "doc_id", "dup_line_frac", "top_2gram_frac")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -705,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_entity_degrees": q29_entity_degrees,
         "q30_components": q30_components,
         "q31_corpus_filter": q31_corpus_filter,
+        "q32_repetition": q32_repetition,
     }
 
 
@@ -1105,6 +1117,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_deg,
                    CAST(coalesce(o.out_deg, 0) + coalesce(i.in_deg, 0) AS BIGINT) AS degree
             FROM outd o FULL OUTER JOIN ind i ON o.node = i.node
+        """,
+        "q32_repetition": r"""
+            WITH ls AS (
+                SELECT doc_id, string_split(text, chr(10)) AS lines
+                FROM documents
+            ),
+            lstat AS (
+                SELECT doc_id, len(lines) AS n_lines,
+                       len(list_distinct(lines)) AS n_dist
+                FROM ls
+            ),
+            toks AS (
+                SELECT doc_id,
+                       string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT d.doc_id,
+                       d.t[g.i] || ' ' || d.t[g.i + 1] AS s
+                FROM toks d,
+                     LATERAL (SELECT unnest(generate_series(1, len(d.t) - 1)) AS i) g
+            ),
+            gc AS (SELECT doc_id, s, count(*) AS c FROM grams GROUP BY 1, 2),
+            gs AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top,
+                          CAST(sum(c) AS BIGINT) AS tot
+                   FROM gc GROUP BY 1)
+            SELECT l.doc_id,
+                   CASE WHEN l.n_lines = 0 THEN 0.0
+                        ELSE round(CAST(l.n_lines - l.n_dist AS DOUBLE) / l.n_lines, 4)
+                   END AS dup_line_frac,
+                   CASE WHEN gs.tot IS NULL OR gs.tot = 0 THEN 0.0
+                        ELSE round(CAST(gs.top AS DOUBLE) / gs.tot, 4)
+                   END AS top_2gram_frac
+            FROM lstat l LEFT JOIN gs ON gs.doc_id = l.doc_id
         """,
         "q31_corpus_filter": lang_base + """
             , alpha AS (

@@ -149,3 +149,44 @@ def filter_corpus(
         .when(F.col("quality") < min_quality, F.lit("low_quality"))
     )
     return d.withColumn("drop_reason", reason)
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals for pretraining-data filtering:
+
+      dup_line_frac    fraction of newline-delimited lines that are
+                       repeats of an earlier line (boilerplate/template
+                       pages score high),
+      top_2gram_frac   share of all word 2-grams taken by the single most
+                       frequent one (stuck-loop / keyword-stuffed pages).
+
+    Relational shape: line stats are per-row array expressions (no
+    shuffle); 2-gram stats ride the shared shingle stream (one keyed
+    count + one per-doc aggregate, map-side partial-aggregated, same
+    plan family as minhash). round 4.
+    """
+    from .dedup import token_shingles_long
+
+    lines = F.split(F.col(text_col), "\n")
+    base = df.select(
+        id_col,
+        F.size(lines).alias("n_lines"),
+        F.size(F.array_distinct(lines)).alias("n_distinct_lines"),
+    )
+    grams = token_shingles_long(df, id_col, text_col, n=2, distinct=False)
+    gstats = (
+        grams.groupBy(id_col, "s").count()
+        .groupBy(id_col)
+        .agg(F.max("count").alias("__top"), F.sum("count").alias("__tot"))
+    )
+    return base.join(gstats, id_col, "left").select(
+        id_col,
+        F.when(F.col("n_lines") == 0, F.lit(0.0)).otherwise(
+            F.round((F.col("n_lines") - F.col("n_distinct_lines"))
+                    / F.col("n_lines"), 4)
+        ).alias("dup_line_frac"),
+        F.when(F.col("__tot").isNull() | (F.col("__tot") == 0), F.lit(0.0))
+        .otherwise(F.round(F.col("__top") / F.col("__tot"), 4))
+        .alias("top_2gram_frac"),
+    )
