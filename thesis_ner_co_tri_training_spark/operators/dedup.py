@@ -64,22 +64,20 @@ def token_shingles_long(df: DataFrame, id_col: str = "doc_id",
                         distinct: bool = True) -> DataFrame:
     """Word n-gram shingles per doc, LONG form (id, s).
 
-    Catalyst inlines a split() projection into every lambda reference of
-    an array HOF (the tokenizer regex would re-run O(tokens) times per
-    row, ~10x the whole query), so the token array is materialized behind
-    an Exchange first: the shuffle writes the computed array once, and
-    every downstream slice/size reference reads an attribute. One compact
-    doc-row shuffle replaces the previous token-explode + window-lead
-    shuffle of every token row — strictly fewer bytes at any scale.
+    Shape: ZERO shuffles — split() lives in its own named projection, and
+    CollapseProject refuses to inline a non-cheap expression referenced
+    more than once (size + the transform lambda), so the tokenizer regex
+    runs exactly once per row (verified: one `split(` in the physical
+    plan) while shingle assembly stays a narrow slice/concat transform.
+    This replaces the previous token-posexplode + window-lead form, whose
+    (id, pos) window shuffled every token row.
 
     distinct=False skips the per-doc shingle dedup shuffle; callers whose
     aggregate is duplicate-insensitive (minhash min()) save a full
     shuffle of the exploded shingle stream.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    toks = (
+    toks = _widen(
         df.select(id_col, F.split(NORM(F.col(text_col)), " ").alias("__t"))
-        .repartition(target)  # materialization barrier for __t
     )
     shingle = (
         f"transform(sequence(0, size(__t) - {n}), "
