@@ -54,11 +54,18 @@ def main() -> int:
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
+        # Steady-state pass (plan compiled, scans touched): what a
+        # long-lived cluster job sees after the first execution. Additive
+        # field — the headline `value` keeps the first-run methodology.
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        warm[name] = round(time.time() - t0, 3)
         _ = n
 
     # KG pipeline throughput: pages -> sentences -> tagging -> vote ->
@@ -94,6 +101,8 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_warm": warm,
+        "value_warm": round(sum(warm.values()), 3),
         "sf": sf_dir,
         "cpus": cpus,
         "kg_pages": KG_PAGES,
