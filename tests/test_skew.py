@@ -29,3 +29,20 @@ def test_salted_repartition_spreads_hot_key(spark):
 
     # row-preserving
     assert salted.count() == 1000
+
+
+def test_salted_repartition_deterministic_placement(spark):
+    """The salt hashes row content (not monotonically_increasing_id), so
+    two independent evaluations place every row in the same partition —
+    the property a task retry / resume depends on."""
+    rows = [(f"https://d{i % 7}.example/{i}", f"d{i % 7}.example")
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "url string, domain string")
+
+    def placement(d):
+        return {r["url"]: r["p"] for r in
+                d.withColumn("p", F.spark_partition_id()).collect()}
+
+    a = placement(salted_repartition(df, "domain", 8, salt=4))
+    b = placement(salted_repartition(df, "domain", 8, salt=4))
+    assert a == b
