@@ -683,6 +683,39 @@ def q32_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "dup_line_frac", "top_2gram_frac")
 
 
+def q33_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: revenue share of PROMO parts, per part type.
+
+    lineitem joins the (small) part dim broadcast; money stays
+    DECIMAL(18,2) until the final double cast; share = exact integer-cent
+    decimal division of promo/total revenue per type group rolled up into
+    one row per p_type plus the corpus-wide share.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    per_type = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(rev.alias("rev_dec"), F.count(F.lit(1)).alias("n_items"))
+    )
+    total = per_type.agg(F.sum("rev_dec").alias("tot_dec"))
+    return (
+        per_type.join(F.broadcast(total))
+        .select(
+            "p_type",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            "n_items",
+            (F.col("rev_dec").cast("double") / F.col("tot_dec").cast("double")
+             ).alias("rev_share"),
+        )
+        .orderBy("p_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -717,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_components": q30_components,
         "q31_corpus_filter": q31_corpus_filter,
         "q32_repetition": q32_repetition,
+        "q33_promo_revenue": q33_promo_revenue,
     }
 
 
@@ -1117,6 +1151,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_deg,
                    CAST(coalesce(o.out_deg, 0) + coalesce(i.in_deg, 0) AS BIGINT) AS degree
             FROM outd o FULL OUTER JOIN ind i ON o.node = i.node
+        """,
+        "q33_promo_revenue": """
+            WITH per_type AS (
+                SELECT p_type,
+                       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec,
+                       count(*) AS n_items
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                GROUP BY p_type
+            ),
+            total AS (SELECT sum(rev_dec) AS tot_dec FROM per_type)
+            SELECT p_type,
+                   CAST(rev_dec AS DOUBLE) AS revenue,
+                   n_items,
+                   CAST(rev_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE) AS rev_share
+            FROM per_type, total
+            ORDER BY p_type
         """,
         "q32_repetition": r"""
             WITH ls AS (
