@@ -84,3 +84,40 @@ def test_session_window_matches_cumsum_form_on_events_table(spark):
     got = {r["user_id"]: (r["n_sessions"], r["n_events"])
            for r in session_summary(ev).collect()}
     assert got == q10
+
+
+def test_user_sessions_streaming_append(spark, tmp_path):
+    """user_sessions runs unchanged on a stream: with a watermark, append
+    mode emits exactly the sessions the watermark has closed (those
+    ending before max(ts) - delay); the final in-flight sessions stay in
+    state. Emitted rows must be a subset of the batch result and must
+    cover every session closed before the cutoff."""
+    import datetime as dt
+
+    rows = _mk_events()
+    df = spark.createDataFrame(rows, "user_id string, event_id long, ts timestamp")
+    d = str(tmp_path / "ev_stream")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+
+    stream = (spark.readStream.schema("user_id string, event_id long, ts timestamp")
+              .parquet(d).withWatermark("ts", "10 minutes"))
+    q = (user_sessions(stream, gap="30 minutes")
+         .writeStream.format("memory").queryName("sess_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["user_id"], r["session_start"], r["n_events"])
+           for r in spark.sql("SELECT * FROM sess_stream").collect()}
+
+    batch = {(r["user_id"], r["session_start"], r["n_events"])
+             for r in user_sessions(df, gap="30 minutes").collect()}
+    max_ts = max(ts for _, _, ts in rows)
+    cutoff = max_ts - dt.timedelta(minutes=10)
+    sessions = _oracle_sessions(rows)
+    closed = {
+        (uid, s[0], len(s))
+        for uid, sess in sessions.items() for s in sess
+        if s[-1] + dt.timedelta(minutes=30) < cutoff  # window end before wm
+    }
+    assert got <= batch
+    assert closed <= got
+    assert closed, "fixture produced no closed sessions — extend it"
