@@ -716,6 +716,32 @@ def q33_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Crafted PII fixture for q34 — shared literal rows so the Spark query
+# and the DuckDB oracle redact the exact same strings (cross-dialect
+# regex parity check: Java regex vs RE2 on the shared patterns).
+PII_ROWS = [
+    (1, "mail a.b+c@x-y.example.com or CALL +1 (415) 555-0199 x9"),
+    (2, "server at 10.0.0.1 port 80; fax 030-1234567 please"),
+    (3, "no pii here at all"),
+    (4, "two mails: first@ex.org second@sub.ex.co.uk done"),
+    (5, "edge 999.999.999.999 still ipv4-shaped; 1.2.3.4."),
+    (6, "phone-ish 2020-01-02 03:04:05 timestamps stay intact"),
+    (7, "contact admin@example.com at 192.168.0.1 or 0800 123 45 67"),
+    (8, "trailing dot mail x@y.io."),
+]
+
+
+def q34_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub parity over the crafted fixture: emails, phone-shaped
+    digit runs, IPv4 literals -> typed placeholders + pre-redaction
+    counts (operators/textstats.redact_pii)."""
+    from thesis_ner_co_tri_training_spark.operators.textstats import redact_pii
+
+    df = spark.createDataFrame(PII_ROWS, "row_id long, text string")
+    return redact_pii(df).select(
+        "row_id", "n_emails", "n_phones", "n_ips", "text_redacted")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -751,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_corpus_filter": q31_corpus_filter,
         "q32_repetition": q32_repetition,
         "q33_promo_revenue": q33_promo_revenue,
+        "q34_pii_redaction": q34_pii_redaction,
     }
 
 
@@ -768,6 +795,28 @@ _Q22_SQL = f"""
     JOIN cues c ON c.doc_id = m1.doc_id AND c.cue_pos > m1.pos AND c.cue_pos < m2.pos
     GROUP BY m1.word, m2.word, m1.doc_id, m1.pos, m2.pos, m1.conf, m2.conf
 """
+
+
+def _q34_sql() -> str:
+    from thesis_ner_co_tri_training_spark.operators.textstats import (
+        PII_EMAIL, PII_IP, PII_PHONE)
+
+    esc = lambda s: s.replace("'", "''")
+    vals = ", ".join(
+        f"({i}, '{t.replace(chr(39), chr(39) * 2)}')" for i, t in PII_ROWS
+    )
+    e, p, ip = (esc(PII_EMAIL), esc(PII_PHONE), esc(PII_IP))
+    return f"""
+        WITH src(row_id, text) AS (VALUES {vals})
+        SELECT row_id,
+               CAST(len(regexp_extract_all(text, '{e}')) AS INTEGER) AS n_emails,
+               CAST(len(regexp_extract_all(text, '{p}')) AS INTEGER) AS n_phones,
+               CAST(len(regexp_extract_all(text, '{ip}')) AS INTEGER) AS n_ips,
+               regexp_replace(regexp_replace(regexp_replace(
+                   text, '{e}', '<EMAIL>', 'g'), '{p}', '<PHONE>', 'g'),
+                   '{ip}', '<IP>', 'g') AS text_redacted
+        FROM src
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1152,6 +1201,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(o.out_deg, 0) + coalesce(i.in_deg, 0) AS BIGINT) AS degree
             FROM outd o FULL OUTER JOIN ind i ON o.node = i.node
         """,
+        "q34_pii_redaction": _q34_sql(),
         "q33_promo_revenue": """
             WITH per_type AS (
                 SELECT p_type,

@@ -190,3 +190,33 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
         .otherwise(F.round(F.col("__top") / F.col("__tot"), 4))
         .alias("top_2gram_frac"),
     )
+
+
+# PII patterns shared by the engine and the DuckDB oracle (q34): only
+# constructs with identical semantics in Java regex and RE2 (character
+# classes, bounded repetition, non-capturing groups, \b) — no lookaround,
+# no backreferences.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9][0-9 ()./-]{7,}[0-9]"
+PII_IP = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Web-corpus PII scrub: emails, phone-number-shaped digit runs and
+    IPv4 literals replaced with typed placeholders, plus per-row counts
+    (counted BEFORE redaction; replacement order email -> phone -> ip is
+    part of the contract — a phone inside an email never double-fires).
+    Pure JVM regexp expressions, one pass over the scan.
+    """
+    t = F.col(text_col)
+    counts = {
+        "n_emails": F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0))),
+        "n_phones": F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), F.lit(0))),
+        "n_ips": F.size(F.regexp_extract_all(t, F.lit(PII_IP), F.lit(0))),
+    }
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"),
+            PII_PHONE, "<PHONE>"),
+        PII_IP, "<IP>")
+    return df.withColumns({**counts, "text_redacted": red})
