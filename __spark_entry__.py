@@ -627,6 +627,49 @@ def q29_entity_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q35_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop traversal of the triple graph from its busiest entity.
+
+    src = node with the highest total degree (lexicographic min on ties,
+    chosen via one ordered row: the same scalar both engines derive).
+    Output: every node reachable in <= 2 directed hops with its minimum
+    hop count and, for hop-2 nodes, the number of distinct 1-hop
+    intermediates that reach it (path fan-in). Pure joins over the
+    distinct edge set — the relational form of a bounded BFS, which is
+    exactly how a k-hop query runs at graph scale (k keyed self-joins,
+    no driver iteration).
+    """
+    t = q22_triples(spark, sf_dir)
+    edges = t.select("subj", "obj").distinct()
+    deg = (
+        edges.select(F.col("subj").alias("node"))
+        .unionAll(edges.select(F.col("obj").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    )
+    src = (
+        deg.orderBy(F.col("degree").desc(), "node").limit(1)
+        .select(F.col("node").alias("src"))
+    )
+    hop1 = (
+        src.join(edges, F.col("src") == F.col("subj"))
+        .select("src", F.col("obj").alias("node")).distinct()
+    )
+    hop2 = (
+        hop1.select(F.col("node").alias("mid"))
+        .join(edges, F.col("mid") == F.col("subj"))
+        .select("mid", F.col("obj").alias("node"))
+        .distinct()
+        .groupBy("node").agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+    h1 = hop1.select("node", F.lit(1).alias("hops"), F.lit(1).cast("long").alias("n_paths"))
+    h2 = (
+        hop2.join(hop1.select("node"), "node", "left_anti")
+        .join(src.select(F.col("src").alias("node")), "node", "left_anti")
+        .select("node", F.lit(2).alias("hops"), F.col("n_paths"))
+    )
+    return h1.unionByName(h2).orderBy("hops", "node")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: triple extraction over sf0.001 documents."""
     return q22_triples(spark, "/root/testdata/sf0.001")
@@ -778,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_repetition": q32_repetition,
         "q33_promo_revenue": q33_promo_revenue,
         "q34_pii_redaction": q34_pii_redaction,
+        "q35_two_hop": q35_two_hop,
     }
 
 
@@ -1202,6 +1246,34 @@ def oracle_sql() -> dict[str, str]:
             FROM outd o FULL OUTER JOIN ind i ON o.node = i.node
         """,
         "q34_pii_redaction": _q34_sql(),
+        "q35_two_hop": f"""
+            WITH t AS ({_Q22_SQL}),
+            e AS (SELECT DISTINCT subj, obj FROM t),
+            deg AS (
+                SELECT node, count(*) AS degree FROM (
+                    SELECT subj AS node FROM e
+                    UNION ALL SELECT obj AS node FROM e
+                ) GROUP BY node
+            ),
+            src AS (SELECT node AS src FROM deg
+                    ORDER BY degree DESC, node LIMIT 1),
+            h1 AS (SELECT DISTINCT e.obj AS node
+                   FROM src JOIN e ON e.subj = src.src),
+            h2 AS (SELECT e2.obj AS node,
+                          count(DISTINCT h1.node) AS n_paths
+                   FROM h1 JOIN e e2 ON e2.subj = h1.node
+                   GROUP BY e2.obj)
+            SELECT node, CAST(1 AS INTEGER) AS hops,
+                   CAST(1 AS BIGINT) AS n_paths
+            FROM h1
+            UNION ALL
+            SELECT node, CAST(2 AS INTEGER) AS hops,
+                   CAST(n_paths AS BIGINT) AS n_paths
+            FROM h2
+            WHERE node NOT IN (SELECT node FROM h1)
+              AND node NOT IN (SELECT src FROM src)
+            ORDER BY hops, node
+        """,
         "q33_promo_revenue": """
             WITH per_type AS (
                 SELECT p_type,
