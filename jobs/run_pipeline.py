@@ -25,6 +25,9 @@ def main() -> int:
                     help="generate N synthetic pages (ignored with --input)")
     ap.add_argument("--input", default=None,
                     help="existing pages parquet dir (url/warc_ts/html/text/lang)")
+    ap.add_argument("--input-warc", default=None,
+                    help="dir/glob of .warc/.warc.gz files (Common-Crawl-style "
+                         "ingestion via sources.warc.read_warc)")
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
@@ -42,7 +45,12 @@ def main() -> int:
 
     spark = get_spark("kg_pipeline", cpus=args.cpus,
                       shuffle_partitions=args.shuffle_partitions)
-    if args.input:
+    if args.input_warc:
+        from thesis_ner_co_tri_training_spark.sources.warc import read_warc
+
+        pages = read_warc(spark, args.input_warc).select("url", "warc_ts", "html")
+        n_pages = pages.count()
+    elif args.input:
         pages = spark.read.parquet(args.input)
         n_pages = pages.count()
     else:
