@@ -785,6 +785,18 @@ def q34_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row_id", "n_emails", "n_phones", "n_ips", "text_redacted")
 
 
+def q36_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs with the md5-derived hash family —
+    byte-reproducible in any engine with md5, so unlike q19 (xxhash64)
+    this one is FULLY DuckDB-oracled: signatures, band buckets, the
+    bucket-size skew guard and the pair join all hash-match."""
+    from thesis_ner_co_tri_training_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, num_hashes=16, bands=4,
+                             hasher="md5").orderBy("a", "b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -822,7 +834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_promo_revenue": q33_promo_revenue,
         "q34_pii_redaction": q34_pii_redaction,
         "q35_two_hop": q35_two_hop,
-    }
+        "q36_minhash_md5": q36_minhash_md5,
+    }  # (oracle_sql below registers q36 via _q36_sql)
 
 
 _Q22_SQL = f"""
@@ -839,6 +852,45 @@ _Q22_SQL = f"""
     JOIN cues c ON c.doc_id = m1.doc_id AND c.cue_pos > m1.pos AND c.cue_pos < m2.pos
     GROUP BY m1.word, m2.word, m1.doc_id, m1.pos, m2.pos, m1.conf, m2.conf
 """
+
+
+def _q36_sql(num_hashes: int = 16, bands: int = 4, max_bucket: int = 64) -> str:
+    rpb = num_hashes // bands
+    h = lambda expr: f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+    mins = ",\n".join(
+        "min(" + h(f"s || '|{i}'") + f") AS h{i}" for i in range(num_hashes)
+    )
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, "
+        + h("'" + str(b) + "' || '|' || "
+            + " || '|' || ".join(
+                f"CAST(h{b * rpb + r} AS VARCHAR)" for r in range(rpb)))
+        + " AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT d.doc_id, d.t[g.i] || ' ' || d.t[g.i+1] || ' ' || d.t[g.i+2] AS s
+            FROM toks d,
+                 LATERAL (SELECT unnest(generate_series(1, len(d.t) - 2)) AS i) g
+        ),
+        sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+        banded AS ({band_rows}),
+        sizes AS (SELECT band, bucket, count(*) AS c FROM banded GROUP BY 1, 2),
+        kept AS (
+            SELECT b.* FROM banded b JOIN sizes z
+            ON z.band = b.band AND z.bucket = b.bucket AND z.c <= {max_bucket}
+        )
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM kept l JOIN kept r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+        ORDER BY a, b
+    """
 
 
 def _q34_sql() -> str:
@@ -1246,6 +1298,7 @@ def oracle_sql() -> dict[str, str]:
             FROM outd o FULL OUTER JOIN ind i ON o.node = i.node
         """,
         "q34_pii_redaction": _q34_sql(),
+        "q36_minhash_md5": _q36_sql(),
         "q35_two_hop": f"""
             WITH t AS ({_Q22_SQL}),
             e AS (SELECT DISTINCT subj, obj FROM t),

@@ -112,10 +112,18 @@ def token_shingles(df: DataFrame, id_col: str = "doc_id",
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
                       num_hashes: int = 32, bands: int = 8,
-                      max_bucket: int = 64) -> DataFrame:
+                      max_bucket: int = 64,
+                      hasher: str = "xxhash64") -> DataFrame:
     """Candidate near-duplicate doc pairs via minhash banding.
 
     rows_per_band = num_hashes // bands; collision prob ~ 1-(1-s^r)^b.
+
+    hasher="xxhash64" (default): the fast JVM hash — value-checked
+    locally by the pure-Python XXH64 oracle (tests/xxh64.py).
+    hasher="md5": 60-bit ints from the md5 hex prefix — slower, but
+    byte-reproducible in ANY engine with md5 (the DuckDB-oracled
+    contract variant, q36); conv(hex,16,10) on 15 hex digits stays
+    inside a signed 64-bit value.
 
     Skew guard (`max_bucket`): buckets larger than max_bucket are dropped
     before the pair join — an oversized bucket is non-discriminative
@@ -133,9 +141,27 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     # distinct=False: min() is duplicate-insensitive, so the shingle
     # dedup shuffle would be pure waste here. (No _widen: the shingle
     # helper's own materialization barrier already spreads partitions.)
+    if hasher == "md5":
+        def _shash(i: int) -> F.Column:
+            return F.conv(
+                F.substring(F.md5(F.concat_ws("|", F.col("s"), F.lit(str(i)))), 1, 15),
+                16, 10).cast("bigint")
+
+        def _bhash(b: int, cols: list) -> F.Column:
+            return F.conv(
+                F.substring(F.md5(F.concat_ws(
+                    "|", F.lit(str(b)), *[c.cast("string") for c in cols])), 1, 15),
+                16, 10).cast("bigint")
+    else:
+        def _shash(i: int) -> F.Column:
+            return F.xxhash64("s", F.lit(i))
+
+        def _bhash(b: int, cols: list) -> F.Column:
+            return F.xxhash64(F.lit(b), *cols)
+
     ex = token_shingles_long(df, id_col, text_col, n, distinct=False)
     sig = ex.groupBy(id_col).agg(*[
-        F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+        F.min(_shash(i)).alias(f"h{i}") for i in range(num_hashes)
     ])
     # Materialize the signature table: `banded` below is referenced three
     # times (bucket sizes + both join sides), and without a cut Spark
@@ -147,9 +173,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     banded = sig.select(
         F.col(id_col),
         F.posexplode(F.array(*[
-            F.xxhash64(F.lit(b), *[
-                F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)
-            ])
+            _bhash(b, [F.col(f"h{b * rows_per_band + r}")
+                       for r in range(rows_per_band)])
             for b in range(bands)
         ])).alias("band", "bucket"),
     )
