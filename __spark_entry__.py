@@ -797,6 +797,15 @@ def q36_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
                              hasher="md5").orderBy("a", "b")
 
 
+def q37_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash with the md5 hash family — the fully DuckDB-oracled
+    twin of q20 (xxhash64): per-bit sign votes, bit assembly and all."""
+    from thesis_ner_co_tri_training_spark.operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, bits=60, hasher="md5")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -835,7 +844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_pii_redaction": q34_pii_redaction,
         "q35_two_hop": q35_two_hop,
         "q36_minhash_md5": q36_minhash_md5,
-    }  # (oracle_sql below registers q36 via _q36_sql)
+        "q37_simhash_md5": q37_simhash_md5,
+    }  # (oracle_sql below registers q36/q37 via _q36_sql/_q37_sql)
 
 
 _Q22_SQL = f"""
@@ -890,6 +900,31 @@ def _q36_sql(num_hashes: int = 16, bands: int = 4, max_bucket: int = 64) -> str:
         FROM kept l JOIN kept r
         ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
         ORDER BY a, b
+    """
+
+
+def _q37_sql(bits: int = 60) -> str:
+    votes = ",\n".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    sim = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END"
+        for i in range(bits)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(
+                string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+            ) AS t
+            FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+            FROM toks
+        ),
+        votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+        SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM votes
     """
 
 
@@ -1299,6 +1334,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q34_pii_redaction": _q34_sql(),
         "q36_minhash_md5": _q36_sql(),
+        "q37_simhash_md5": _q37_sql(),
         "q35_two_hop": f"""
             WITH t AS ({_Q22_SQL}),
             e AS (SELECT DISTINCT subj, obj FROM t),

@@ -219,20 +219,31 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame | None = None,
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id",
-            text_col: str = "text", bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document, JVM-side.
+            text_col: str = "text", bits: int = 64,
+            hasher: str = "xxhash64") -> DataFrame:
+    """SimHash per document, JVM-side (64-bit with the default hasher).
 
-    For each bit i: sum over tokens of sign(bit i of xxhash64(token));
+    For each bit i: sum over tokens of sign(bit i of hash(token));
     bit set if the sum is positive. Near-dups differ in few bits
     (compare via hamming_distance helper below).
+
+    hasher="md5" uses the 60-bit md5 hex-prefix family (bits <= 60) —
+    byte-reproducible in any engine with md5, the DuckDB-oracled
+    contract variant (q37); xxhash64 stays the fast path with its local
+    pure-Python oracle.
     """
     # Explode tokens -> codegen'd conditional sums per bit (relational
     # aggregation with map-side partials beats interpreted per-row
     # higher-order folds — same reasoning as minhash_lsh_pairs).
+    if hasher == "md5":
+        assert bits <= 60, "md5 hex-prefix family yields 60 usable bits"
+        th = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("bigint")
+    else:
+        th = F.xxhash64("t")
     ex = _widen(df).select(
         id_col,
         F.explode(F.split(NORM(F.col(text_col)), " ")).alias("t"),
-    ).withColumn("h", F.xxhash64("t"))
+    ).withColumn("h", th)
     votes = ex.groupBy(id_col).agg(*[
         F.sum(
             F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
