@@ -48,7 +48,9 @@ def main() -> int:
     if args.input_warc:
         from thesis_ner_co_tri_training_spark.sources.warc import read_warc
 
-        pages = read_warc(spark, args.input_warc).select("url", "warc_ts", "html")
+        pages = (read_warc(spark, args.input_warc)
+                 .filter("parse_error IS NULL")
+                 .select("url", "warc_ts", "html"))
         n_pages = pages.count()
     elif args.input:
         pages = spark.read.parquet(args.input)

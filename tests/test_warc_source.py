@@ -56,3 +56,20 @@ def test_read_warc_spark_and_downstream(spark, tmp_path):
     # the WARC output feeds the ordinary fused pipeline directly
     voted = tag_and_vote_pages_df(df.select("url", "html"))
     assert voted.count() > 0
+
+
+def test_read_warc_malformed_file_records_error(spark, tmp_path):
+    """A corrupt WARC file yields one parse_error row instead of killing
+    the task or silently vanishing (C5: no silent drops)."""
+    d = tmp_path / "warcs_bad"
+    d.mkdir()
+    write_warc(_pages()[:3], str(d / "good.warc"))
+    (d / "bad.warc").write_bytes(b"WARC/1.0\r\nWARC-Type: response\r\nno-terminator")
+
+    df = read_warc(spark, str(d))
+    rows = df.collect()
+    good = [r for r in rows if r["parse_error"] is None]
+    bad = [r for r in rows if r["parse_error"] is not None]
+    assert len(good) == 3
+    assert len(bad) == 1 and "bad.warc" in bad[0]["warc_file"]
+    assert bad[0]["url"] is None

@@ -30,7 +30,10 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-PAGES_OUT_SCHEMA = "url string, warc_ts timestamp_ntz, html binary, warc_file string"
+PAGES_OUT_SCHEMA = (
+    "url string, warc_ts timestamp_ntz, html binary, warc_file string, "
+    "parse_error string"
+)
 
 
 def parse_warc_bytes(data: bytes) -> Iterator[tuple[str, datetime, bytes]]:
@@ -75,13 +78,27 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"url": [], "warc_ts": [], "html": [], "warc_file": []}
+            out = {"url": [], "warc_ts": [], "html": [],
+                   "warc_file": [], "parse_error": []}
             for fname, content in zip(pdf["path"], pdf["content"]):
-                for url, ts, body in parse_warc_bytes(bytes(content)):
+                # C5 rule (no silent drops): a malformed WARC file must
+                # not kill the task NOR vanish — it becomes one row with
+                # parse_error set, countable downstream in stage metrics.
+                try:
+                    records = list(parse_warc_bytes(bytes(content)))
+                except Exception as exc:
+                    out["url"].append(None)
+                    out["warc_ts"].append(None)
+                    out["html"].append(None)
+                    out["warc_file"].append(fname)
+                    out["parse_error"].append(f"{type(exc).__name__}: {exc}")
+                    continue
+                for url, ts, body in records:
                     out["url"].append(url)
                     out["warc_ts"].append(ts)
                     out["html"].append(body)
                     out["warc_file"].append(fname)
+                    out["parse_error"].append(None)
             yield pd.DataFrame(out)
 
     return files.select("path", "content").mapInPandas(run, PAGES_OUT_SCHEMA)
