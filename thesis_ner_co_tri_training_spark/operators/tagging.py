@@ -75,21 +75,26 @@ def _o_conf(word: str) -> float:
 # exactly the original 3->2->1 membership probe without materializing a
 # joined surface string per (position, span, view) — the profile's top
 # cost (~1M str.join + ~2.6M .lower per 800 pages).
-_INDEX_CACHE: dict[int, dict[str, list[tuple[int, tuple[str, ...], str, float]]]] = {}
+# Cache value keeps a strong reference to the gaz dict itself: id() keys
+# are only unique while the object lives, so pinning the dict guarantees
+# no id reuse can alias a stale index. Bounded: the three view
+# gazetteers plus any ad-hoc test dicts.
+_INDEX_CACHE: dict[int, tuple[dict, dict[str, list[tuple[int, tuple[str, ...], str, float]]]]] = {}
 
 
 def _index_for(gaz: dict) -> dict[str, list[tuple[int, tuple[str, ...], str, float]]]:
-    idx = _INDEX_CACHE.get(id(gaz))
-    if idx is None:
-        idx = {}
-        for surf, (tag, conf) in gaz.items():
-            parts = tuple(surf.split(" "))
-            if len(parts) > 3:
-                continue
-            idx.setdefault(parts[0], []).append((len(parts), parts, tag, conf))
-        for cands in idx.values():
-            cands.sort(key=lambda x: -x[0])
-        _INDEX_CACHE[id(gaz)] = idx
+    hit = _INDEX_CACHE.get(id(gaz))
+    if hit is not None:
+        return hit[1]
+    idx: dict[str, list[tuple[int, tuple[str, ...], str, float]]] = {}
+    for surf, (tag, conf) in gaz.items():
+        parts = tuple(surf.split(" "))
+        if len(parts) > 3:
+            continue
+        idx.setdefault(parts[0], []).append((len(parts), parts, tag, conf))
+    for cands in idx.values():
+        cands.sort(key=lambda x: -x[0])
+    _INDEX_CACHE[id(gaz)] = (gaz, idx)
     return idx
 
 
