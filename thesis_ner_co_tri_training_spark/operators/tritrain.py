@@ -47,7 +47,7 @@ def pairwise_error_rates_df(
     whichever id columns exist (sort+limit = TakeOrderedAndProject).
     With no id columns the bare limit stands — caller must pre-sort.
     """
-    if limit:
+    if limit is not None:
         order_cols = [c for c in ("url", "doc_id", "sent_id") if c in views.columns]
         views = views.orderBy(*order_cols).limit(limit) if order_cols else views.limit(limit)
     proj = views.select(
