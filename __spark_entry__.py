@@ -806,6 +806,28 @@ def q37_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs, bits=60, hasher="md5")
 
 
+def q38_event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles (p50/p95) of event value per type.
+
+    Spark's `percentile` and DuckDB's `quantile_cont` share the same
+    sort-and-interpolate definition (a + (b-a)*frac) — verified
+    bit-exact, so the contract hash covers the full quantile path. At
+    scale the exact form is one sort per group partition; the sketch
+    form (percentile_approx/t-digest) is the size-unbounded alternative
+    but its estimates are engine-specific by construction.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+            F.percentile("value", F.lit(0.95)).alias("p95"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -845,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_two_hop": q35_two_hop,
         "q36_minhash_md5": q36_minhash_md5,
         "q37_simhash_md5": q37_simhash_md5,
+        "q38_event_quantiles": q38_event_quantiles,
     }  # (oracle_sql below registers q36/q37 via _q36_sql/_q37_sql)
 
 
@@ -1335,6 +1358,15 @@ def oracle_sql() -> dict[str, str]:
         "q34_pii_redaction": _q34_sql(),
         "q36_minhash_md5": _q36_sql(),
         "q37_simhash_md5": _q37_sql(),
+        "q38_event_quantiles": """
+            SELECT event_type,
+                   quantile_cont(value, 0.5) AS p50,
+                   quantile_cont(value, 0.95) AS p95,
+                   count(*) AS n
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
         "q35_two_hop": f"""
             WITH t AS ({_Q22_SQL}),
             e AS (SELECT DISTINCT subj, obj FROM t),
