@@ -377,15 +377,6 @@ def tag_pages_df(pages: DataFrame, passthrough: list[str] | None = None) -> Data
     return pages.select(*in_cols).mapInPandas(run, SENT_VIEWS_FLAT_SCHEMA + extra_schema)
 
 
-# Voted-sentence schema emitted by the fused tag+vote pass (matches
-# vote_mentions' output column set).
-VOTED_FLAT_SCHEMA = (
-    "url string, sent_id bigint, tokens array<string>, "
-    "tags array<string>, confs array<double>, "
-    "selection_rule string, cos_score double"
-)
-
-
 def tag_and_vote_pages_df(
     pages: DataFrame,
     cos_threshold: float = 0.7,
