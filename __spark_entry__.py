@@ -640,7 +640,13 @@ def q35_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     no driver iteration).
     """
     t = q22_triples(spark, sf_dir)
-    edges = t.select("subj", "obj").distinct()
+    # localCheckpoint cuts the lineage: `edges` is referenced four times
+    # below (degree, hop1 twice, hop2) and without the cut Catalyst
+    # re-expands the whole triple-extraction subtree at every reference
+    # (36 scans / 45 shuffles in the audited plan). Materializing the
+    # distinct edge set once is also the 100-TB shape — a k-hop query
+    # runs against a materialized edge table, not the extraction DAG.
+    edges = t.select("subj", "obj").distinct().localCheckpoint(eager=True)
     deg = (
         edges.select(F.col("subj").alias("node"))
         .unionAll(edges.select(F.col("obj").alias("node")))
@@ -828,6 +834,28 @@ def q38_event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q39_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 for 3 queries, driver-oracled via the recall dial.
+
+    nprobe == nlist probes every inverted list, so the IVF plan
+    (MLlib KMeans quantizer -> cluster-keyed probe join -> per-query
+    top-k window) must return EXACTLY the brute-force answer whatever
+    the clustering did — which makes the full IVF code path checkable
+    against a plain DuckDB cross-join top-k oracle. test_simsearch
+    additionally pins recall at nprobe < nlist.
+    """
+    from thesis_ner_co_tri_training_spark.operators.simsearch import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = emb.filter(F.col("vec_id") >= 10)
+    return ivf_topk(cand, queries_df, dim=64, k=5, nlist=4, nprobe=4).select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cosine"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -868,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_minhash_md5": q36_minhash_md5,
         "q37_simhash_md5": q37_simhash_md5,
         "q38_event_quantiles": q38_event_quantiles,
+        "q39_ann_ivf": q39_ann_ivf,
     }  # (oracle_sql below registers q36/q37 via _q36_sql/_q37_sql)
 
 
@@ -1366,6 +1395,30 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        "q39_ann_ivf": """
+            WITH q AS (
+                SELECT vec_id AS query_id, cast(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 3
+            ),
+            c AS (
+                SELECT vec_id, cast(embedding AS DOUBLE[]) AS ve
+                FROM embeddings WHERE vec_id >= 10
+            ),
+            scored AS (
+                SELECT q.query_id, c.vec_id,
+                       list_dot_product(c.ve, q.qv)
+                       / (sqrt(list_dot_product(c.ve, c.ve))
+                          * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+                FROM c, q
+            )
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id) AS rank,
+                   round(cos, 4) AS cosine
+            FROM scored
+            QUALIFY rank <= 5
+            ORDER BY query_id, rank
         """,
         "q35_two_hop": f"""
             WITH t AS ({_Q22_SQL}),

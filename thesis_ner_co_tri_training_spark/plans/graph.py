@@ -20,20 +20,29 @@ from pyspark.sql import functions as F
 
 def degree_stats(edges: DataFrame, src: str = "subj_id",
                  dst: str = "obj_id") -> DataFrame:
-    """Per-node in/out/total degree. Output: node, out_deg, in_deg, degree."""
-    out_d = edges.groupBy(F.col(src).alias("node")).agg(
-        F.count(F.lit(1)).alias("out_deg"))
-    in_d = edges.groupBy(F.col(dst).alias("node")).agg(
-        F.count(F.lit(1)).alias("in_deg"))
-    return (
-        out_d.join(in_d, "node", "full_outer")
-        .select(
-            "node",
-            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
-            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
-            (F.coalesce("out_deg", F.lit(0))
-             + F.coalesce("in_deg", F.lit(0))).alias("degree"),
-        )
+    """Per-node in/out/total degree. Output: node, out_deg, in_deg, degree.
+
+    Single pass: each edge explodes into (src, out=1) + (dst, in=1) and
+    one groupBy sums the flags. The naive out-leg/in-leg + full-outer
+    join reads `edges` TWICE — ruinous when `edges` is an unmaterialized
+    extraction subtree (Catalyst duplicates the whole upstream DAG, no
+    common-subplan sharing) — and adds a join shuffle. This form is one
+    scan, one shuffle, map-side partial aggregation.
+    """
+    both = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("node"),
+                         F.lit(1).alias("o"), F.lit(0).alias("i")),
+                F.struct(F.col(dst).alias("node"),
+                         F.lit(0).alias("o"), F.lit(1).alias("i")),
+            )
+        ).alias("x")
+    ).select("x.*")
+    return both.groupBy("node").agg(
+        F.sum("o").alias("out_deg"),
+        F.sum("i").alias("in_deg"),
+        F.count(F.lit(1)).alias("degree"),
     )
 
 
