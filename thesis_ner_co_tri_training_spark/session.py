@@ -62,4 +62,14 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Force the one-time ICU case-mapping class init
+    # (CollationAwareUTF8String.<clinit>, loaded on the first non-ASCII
+    # lower()/upper()). Left to first use, it fires inside a 32-thread
+    # stage where ONE task runs the heavyweight static init while every
+    # other task blocks on the class-init lock — observed as a flaky
+    # 25-58s stall on whichever lower()-heavy stage ran first (thread
+    # dump: CollationSupport$Lower.execBinaryICU ->
+    # CollationAwareUTF8String.<clinit>, all other executors parked).
+    # Touching it here is single-threaded and off every timed path.
+    spark.sql("SELECT lower('İÄßΣ'), upper('ıäßς'), initcap('ärger')").collect()
     return spark
