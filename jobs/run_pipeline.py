@@ -72,7 +72,10 @@ def main() -> int:
             for k, v in lineage.items()
         },
     }
-    if args.eval_report and not args.input:
+    # Synthetic --pages mode only: the gold tables are generated for the
+    # synthetic page ids, so scoring a corpus read from --input/--input-warc
+    # against them would produce an all-FP/all-FN "report".
+    if args.eval_report and not args.input and not args.input_warc:
         import os
 
         from thesis_ner_co_tri_training_spark.plans.eval import write_prf_artifact

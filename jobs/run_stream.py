@@ -65,7 +65,14 @@ def main() -> int:
     q.awaitTermination()
     elapsed = time.time() - t0
 
-    rows = spark.read.parquet(os.path.join(args.out, "data")).count()
+    # A drain that admitted zero input files commits no batch and never
+    # creates the sink dir (first run on an empty --input, or a rerun with
+    # no new files before any data landed) — report 0 rows, don't crash.
+    data_dir = os.path.join(args.out, "data")
+    try:
+        rows = spark.read.parquet(data_dir).count()
+    except Exception:
+        rows = 0
     print(json.dumps({
         "what": args.what,
         "seconds": round(elapsed, 2),

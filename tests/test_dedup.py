@@ -185,6 +185,14 @@ def test_embedding_near_dups_bucketed_matches_brute(spark):
     assert any(b == a + 1 for a, b in brute)  # planted pairs were found
 
 
+def test_embedding_near_dups_empty_input(spark):
+    """The bucketed default's dim metadata probe must tolerate an empty
+    input (first() is None) and return zero pairs, like brute force."""
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert embedding_near_dups(df).count() == 0
+    assert embedding_near_dups(df, bucketed=False).count() == 0
+
+
 def test_near_dup_clusters_fixture(spark, docs):
     """On the known 5-doc fixture: docs 1/2/3/4 form one near-dup cluster
     (1 is the keeper), doc 5 is a singleton keeper."""

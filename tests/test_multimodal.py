@@ -76,6 +76,19 @@ def test_extract_features_real_and_fallback(spark):
             assert all(abs(a - b) < 1e-6 for a, b in zip(r["feat"], want))
 
 
+def test_extract_features_truncated_bmp(spark):
+    """A corrupt 'BM' payload shorter than its header must record a
+    decode_error row (struct.error path), not kill the task."""
+    rows = [(1, "image", bytearray(b"BM\x00\x01")),
+            (2, "image", bytearray(gen_ppm(4, 4, seed=2)))]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary")
+    out = {r["media_id"]: r for r in extract_features(media, dim=4).collect()}
+    assert out[1]["decode_error"] is not None
+    assert len(out[1]["feat"]) == 4  # deterministic fake, full shape
+    assert out[2]["decode_error"] is None
+
+
 def test_frame_sample_plan_counts(spark):
     media = gen_media_df(spark, 12)
     plan = frame_sample_plan(media, every_ms=500)

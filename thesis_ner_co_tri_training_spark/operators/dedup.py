@@ -64,7 +64,10 @@ def token_shingles_long(df: DataFrame, id_col: str = "doc_id",
                         distinct: bool = True) -> DataFrame:
     """Word n-gram shingles per doc, LONG form (id, s).
 
-    Shape: ZERO shuffles — split() lives in its own named projection, and
+    Shape: no shuffle beyond _widen's conditional round-robin exchange
+    (a no-op whenever the input scan already has >= defaultParallelism
+    splits — always true on a real corpus, only the tiny local fixtures
+    trigger it). split() lives in its own named projection, and
     CollapseProject refuses to inline a non-cheap expression referenced
     more than once (size + the transform lambda), so the tokenizer regex
     runs exactly once per row (verified: one `split(` in the physical
@@ -139,8 +142,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     # (doc, shingle) rows run in whole-stage codegen with map-side partial
     # aggregation, and the shuffle carries only num_hashes longs per doc.
     # distinct=False: min() is duplicate-insensitive, so the shingle
-    # dedup shuffle would be pure waste here. (No _widen: the shingle
-    # helper's own materialization barrier already spreads partitions.)
+    # dedup shuffle would be pure waste here. (The shingle helper's own
+    # _widen already spreads undersized local scans to full width.)
     if hasher == "md5":
         def _shash(i: int) -> F.Column:
             return F.conv(
@@ -336,8 +339,10 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
         from .simsearch import hyperplane_signature
 
         if dim is None:
-            # metadata probe: one element, one row
-            dim = emb.select(F.size(vec_col)).first()[0]
+            # metadata probe: one element, one row; on an EMPTY input any
+            # dim works (every stage below is empty-safe), so don't crash
+            row = emb.select(F.size(vec_col)).first()
+            dim = int(row[0]) if row is not None else 1
         banded = None
         for band in range(bands):
             s = hyperplane_signature(

@@ -139,14 +139,17 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     alias graphs can chain (a~b~c~...). algorithm="hashmin": one-hop
     min-label propagation — O(diameter) rounds; fine for the dense
     near-dup clusters LSH verify emits, kept for comparison/tests.
+
+    `checkpoint_every` applies to the hashmin path only: star's per-round
+    fixed-point probe materializes the edge set every round anyway, so it
+    always checkpoints per round (the knob would buy nothing there).
     """
     if algorithm == "star":
-        return _connected_components_star(edges, max_iter, checkpoint_every)
+        return _connected_components_star(edges, max_iter)
     return _connected_components_hashmin(edges, max_iter, checkpoint_every)
 
 
-def _connected_components_star(edges: DataFrame, max_iter: int = 20,
-                               checkpoint_every: int = 2) -> DataFrame:
+def _connected_components_star(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """Alternating large-star/small-star rounds.
 
     large-star: every node points its LARGER neighbors at the minimum of

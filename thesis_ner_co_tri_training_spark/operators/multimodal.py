@@ -150,7 +150,12 @@ def extract_features(media: DataFrame, dim: int = 8,
                 try:
                     feats.append(image_features(decode_image(raw), dim))
                     errs.append(None)
-                except (NotImplementedError, ValueError, IndexError) as e:
+                # struct.error covers truncated BMP headers (struct.error
+                # is a direct Exception subclass, NOT a ValueError): a
+                # short b"BM..." payload must record decode_error, not
+                # kill the task.
+                except (NotImplementedError, ValueError, IndexError,
+                        struct.error) as e:
                     feats.append(_fake_features(raw, dim))
                     errs.append(str(e))
             yield pd.DataFrame({

@@ -51,7 +51,12 @@ def prf_report(pred: DataFrame, gold: DataFrame,
         F.col("tp") / (F.col("tp") + F.col("fn"))
     )
     f1 = F.when(prec + rec == 0, F.lit(0.0)).otherwise(2 * prec * rec / (prec + rec))
-    rnd = (lambda c: F.round(c, digits)) if digits is not None else (lambda c: c)
+    # bround (HALF_EVEN): the digits path is in the REFERENCE-PARITY
+    # rounding domain (seqeval's '%.4f' formats ties-to-even, and
+    # prf_report_text must agree with this DataFrame on e.g.
+    # 21/32 = 0.65625 -> 0.6562); F.round (HALF_UP) is reserved for the
+    # DuckDB-oracled contract domain, which uses digits=None here anyway.
+    rnd = (lambda c: F.bround(c, digits)) if digits is not None else (lambda c: c)
     return agg.select(
         F.col(type_col).alias("entity_type"),
         rnd(prec).alias("precision"),
