@@ -1,8 +1,9 @@
-"""Graph analytics vs pure-Python power-iteration oracle."""
+"""Graph analytics vs pure-Python power-iteration / BFS oracles."""
 
 import pytest
 
-from thesis_ner_co_tri_training_spark.plans.graph import degree_stats, pagerank
+from thesis_ner_co_tri_training_spark.plans.graph import (
+    degree_stats, k_hop, pagerank)
 
 EDGES = [
     ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
@@ -51,3 +52,55 @@ def test_pagerank_matches_power_iteration(spark, edges_df):
     assert abs(sum(got.values()) - 1.0) < 1e-9
     # c is the hub
     assert max(got, key=got.get) == "c"
+
+
+def oracle_k_hop(edges, sources, k):
+    """BFS oracle: {node: (min_hops, distinct shortest-hop predecessors)}."""
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, set()).add(t)
+    visited = {s: (0, 1) for s in sources}
+    frontier = set(sources)
+    for h in range(1, k + 1):
+        preds = {}
+        for u in frontier:
+            for v in out.get(u, ()):
+                if v not in visited:
+                    preds.setdefault(v, set()).add(u)
+        frontier = set(preds)
+        for v, ps in preds.items():
+            visited[v] = (h, len(ps))
+        if not frontier:
+            break
+    return visited
+
+
+def _khop_dict(df):
+    return {r["node"]: (r["hops"], r["n_paths"]) for r in df.collect()}
+
+
+def test_k_hop_fixture_graph(spark, edges_df):
+    src = spark.createDataFrame([("a",)], "node string")
+    got = _khop_dict(k_hop(edges_df, src, k=2, src="subj_id", dst="obj_id"))
+    assert got == oracle_k_hop(EDGES, ["a"], 2)
+    # k large enough to exhaust the graph == transitive closure
+    got4 = _khop_dict(k_hop(edges_df, src, k=4, src="subj_id", dst="obj_id"))
+    assert got4 == oracle_k_hop(EDGES, ["a"], 4)
+
+
+def test_k_hop_fan_in_and_min_hops(spark):
+    # diamond + chain: d is reachable at hop 2 via b AND c (fan-in 2);
+    # b is hop-1 even though a longer a->c->?->b path could exist.
+    edges = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+             ("d", "e"), ("e", "b")]  # e->b: b must stay hop 1
+    df = spark.createDataFrame(edges, "subj string, obj string")
+    src = spark.createDataFrame([("a",)], "node string")
+    got = _khop_dict(k_hop(df, src, k=4))
+    assert got == oracle_k_hop(edges, ["a"], 4)
+    assert got["d"] == (2, 2)   # fan-in via b and c
+    assert got["b"] == (1, 1)   # min hop wins over the 4-hop path
+    # multi-source: hop-1 fan-in counts distinct sources
+    src2 = spark.createDataFrame([("b",), ("c",)], "node string")
+    got2 = _khop_dict(k_hop(df, src2, k=1))
+    assert got2 == oracle_k_hop(edges, ["b", "c"], 1)
+    assert got2["d"] == (1, 2)

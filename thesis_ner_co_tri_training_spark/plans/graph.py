@@ -94,3 +94,48 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def k_hop(edges: DataFrame, sources: DataFrame, k: int = 2,
+          src: str = "subj", dst: str = "obj") -> DataFrame:
+    """Nodes reachable in <= k directed hops: (node, hops, n_paths).
+
+    hops = minimum hop count from the source set (sources are hop 0);
+    n_paths = shortest-path fan-in: the number of distinct hop-(h-1)
+    nodes with an edge into this node. The relational form of bounded
+    BFS — k keyed self-joins against a materialized distinct edge table,
+    no driver iteration over data; each frontier is anti-joined against
+    the visited set so a node keeps its MINIMUM hop count (q35 is the
+    k=2 specialization of this, kept inline for its DuckDB oracle).
+
+    Scale: every join/agg is keyed by node id (uniform for entity
+    graphs after canonicalization; salt upstream for power-law hubs);
+    per-round localCheckpoint cuts the iterative lineage exactly like
+    pagerank/connected_components above.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = sources.select(
+        F.col(sources.columns[0]).alias("node")).distinct()
+    visited = frontier.select(
+        "node", F.lit(0).alias("hops"), F.lit(1).cast("long").alias("n_paths")
+    ).localCheckpoint(eager=True)
+    for h in range(1, k + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .groupBy(F.col("v").alias("node"))
+            # frontier is distinct, so count(*) = distinct predecessors
+            .agg(F.count(F.lit(1)).alias("n_paths"))
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(h).alias("hops"), "n_paths")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("node")
+    return visited
