@@ -856,6 +856,19 @@ def q39_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q40_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus summary (docs/tokens/distinct tokens/chars).
+
+    Contract form uses exact=True (estimates are engine-specific); the
+    engine default is the HLL++ sketch path whose error bound
+    test_property pins against this exact twin.
+    """
+    from thesis_ner_co_tri_training_spark.operators.textstats import corpus_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_stats(docs, exact=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -897,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_simhash_md5": q37_simhash_md5,
         "q38_event_quantiles": q38_event_quantiles,
         "q39_ann_ivf": q39_ann_ivf,
+        "q40_corpus_stats": q40_corpus_stats,
     }  # (oracle_sql below registers q36/q37 via _q36_sql/_q37_sql)
 
 
@@ -1395,6 +1409,31 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        "q40_corpus_stats": """
+            WITH base AS (
+                SELECT lang, doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+                       list_filter(string_split(lower(trim(text)), ' '),
+                                   t -> t <> '') AS toks
+                FROM documents
+            ),
+            dl AS (
+                SELECT lang,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+                       CAST(sum(n_chars) AS BIGINT) / count(*) AS avg_doc_chars
+                FROM base GROUP BY lang
+            ),
+            tl AS (
+                SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS nd
+                FROM (SELECT lang, unnest(toks) AS tok FROM base)
+                GROUP BY lang
+            )
+            SELECT dl.lang, n_docs, n_tokens,
+                   COALESCE(nd, CAST(0 AS BIGINT)) AS n_distinct_tokens,
+                   avg_doc_chars
+            FROM dl LEFT JOIN tl ON dl.lang = tl.lang
+            ORDER BY dl.lang
         """,
         "q39_ann_ivf": """
             WITH q AS (

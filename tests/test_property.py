@@ -115,3 +115,45 @@ def test_vote_sentence_flat_matches_jvm_vote(spark, rows, cos_thr):
         else:
             assert i in jvm, i
             assert jvm[i] == (got[0], got[2]), i
+
+
+def test_textstats_corpus(spark):
+    """corpus_stats: exact twin == hand-computed truth; HLL++ sketch path
+    within its rsd error bound at a cardinality where sketching matters."""
+    import random
+
+    from thesis_ner_co_tri_training_spark.operators.textstats import corpus_stats
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(400):
+        lang = "en" if i % 2 == 0 else "de"
+        # ~20k-word vocabulary per language: large enough that the HLL
+        # estimate is a real estimate, not an exact small-range count
+        toks = [f"{lang}tok{rng.randrange(20000)}" for _ in range(200)]
+        rows.append((i, " ".join(toks), lang))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    truth = {}
+    for _, text, lang in rows:
+        d = truth.setdefault(lang, {"docs": 0, "toks": 0, "vocab": set(), "chars": 0})
+        d["docs"] += 1
+        d["toks"] += len(text.split())
+        d["vocab"].update(text.split())
+        d["chars"] += len(text)
+
+    ex = {r["lang"]: r for r in corpus_stats(df, exact=True).collect()}
+    assert set(ex) == set(truth)
+    for lang, d in truth.items():
+        r = ex[lang]
+        assert r["n_docs"] == d["docs"]
+        assert r["n_tokens"] == d["toks"]
+        assert r["n_distinct_tokens"] == len(d["vocab"])
+        assert abs(r["avg_doc_chars"] - d["chars"] / d["docs"]) < 1e-9
+
+    ap = {r["lang"]: r for r in corpus_stats(df, exact=False, rsd=0.02).collect()}
+    for lang, d in truth.items():
+        rel = abs(ap[lang]["n_distinct_tokens"] - len(d["vocab"])) / len(d["vocab"])
+        assert rel < 0.06, (lang, rel)  # 3x the 2% rsd
+        # non-sketched columns identical to the exact twin
+        assert ap[lang]["n_docs"] == ex[lang]["n_docs"]
+        assert ap[lang]["n_tokens"] == ex[lang]["n_tokens"]

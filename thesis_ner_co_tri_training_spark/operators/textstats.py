@@ -220,3 +220,55 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
             PII_PHONE, "<PHONE>"),
         PII_IP, "<IP>")
     return df.withColumns({**counts, "text_redacted": red})
+
+
+def corpus_stats(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", lang_col: str = "lang",
+                 exact: bool = False, rsd: float = 0.02) -> DataFrame:
+    """Per-language corpus summary: docs, tokens, distinct tokens, chars.
+
+    The 100-TB shape (default, exact=False): distinct-token cardinality
+    uses approx_count_distinct — a HyperLogLog++ sketch whose state is a
+    few KB per group and merges associatively in the map-side partial
+    aggregation, so the shuffle carries one sketch per (partition, lang)
+    instead of the token stream. An exact countDistinct would shuffle
+    every (lang, token) pair — unbounded at corpus scale.
+
+    exact=True swaps in the exact countDistinct for tests: estimates are
+    engine-specific by construction (no cross-engine oracle), so the
+    test contract is |approx - exact| / exact within the HLL++ error
+    bound instead (test_textstats_corpus in test_property.py pins it).
+    """
+    base = df.select(
+        F.col(lang_col).alias("lang"),
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("n_chars"),
+        # same empty-filtered whitespace tokens as token_counts (q15's
+        # cross-engine-proven form)
+        F.filter(tokens_col(text_col), lambda t: t != "").alias("__t"),
+    )
+    # Doc-level leg: compact rows, no explode — docs/tokens/bytes.
+    docs_leg = base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("__t")).cast("long").alias("n_tokens"),
+        (F.sum("n_chars") / F.count(F.lit(1))).alias("avg_doc_chars"),
+    )
+    # Token-level leg: only the distinct-cardinality needs the explode.
+    distinct_tokens = (
+        F.count_distinct(F.col("tok")) if exact
+        else F.approx_count_distinct("tok", rsd)
+    )
+    toks_leg = (
+        base.select("lang", F.explode("__t").alias("tok"))
+        .groupBy("lang")
+        .agg(distinct_tokens.alias("n_distinct_tokens"))
+    )
+    return (
+        docs_leg.join(toks_leg, "lang", "left")
+        .select(
+            "lang", "n_docs", "n_tokens",
+            F.coalesce("n_distinct_tokens", F.lit(0)).alias("n_distinct_tokens"),
+            "avg_doc_chars",
+        )
+        .orderBy("lang")
+    )
