@@ -1,0 +1,85 @@
+"""spark-submit entry: graph analytics over the materialized KG warehouse.
+
+Usage (after jobs/run_pipeline.py has built <warehouse>/nodes + edges):
+
+    spark-submit --py-files dist/engine.zip jobs/run_graph.py \
+        --warehouse /tmp/kg_wh [--khop 2] [--pagerank-iters 10] [--cpus 8]
+
+Runs over the edges table: per-entity degree stats, PageRank (dangling-
+aware), and a bounded k-hop neighborhood from the highest-degree entity
+(ties broken lexicographically, same scalar rule as q35). Writes the
+three result tables back into the warehouse under graph_* (same
+catalog layout + lineage snapshots as the pipeline stages) and prints a
+one-line JSON summary.
+
+This is the "graph is queryable, not just materialized" surface: all
+three analytics run as keyed joins/aggregations over the edge table the
+pipeline wrote — no driver-side iteration over data.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--khop", type=int, default=2)
+    ap.add_argument("--pagerank-iters", type=int, default=10)
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from thesis_ner_co_tri_training_spark.plans.graph import (
+        degree_stats, k_hop, pagerank)
+    from thesis_ner_co_tri_training_spark.session import get_spark
+    from thesis_ner_co_tri_training_spark.sources import catalog
+
+    spark = get_spark("kg_graph", cpus=args.cpus,
+                      shuffle_partitions=args.shuffle_partitions)
+    edges = catalog.read_table(spark, args.warehouse, "edges")
+    e = edges.select("subj_id", "obj_id").localCheckpoint(eager=True)
+
+    t0 = time.time()
+    deg = degree_stats(e).localCheckpoint(eager=True)
+    catalog.write_table(deg, args.warehouse, "graph_degrees",
+                        stage_params={"source": "edges"})
+
+    pr = pagerank(e, iterations=args.pagerank_iters)
+    catalog.write_table(pr, args.warehouse, "graph_pagerank",
+                        stage_params={"iterations": args.pagerank_iters})
+
+    # Hub by OUT-degree: the k-hop frontier follows edge direction, so a
+    # total-degree hub can be a pure sink (reachable set = itself).
+    hub = (
+        deg.orderBy(F.col("out_deg").desc(), "node").limit(1)
+        .select(F.col("node"))
+    )
+    kh = k_hop(e, hub, k=args.khop, src="subj_id", dst="obj_id")
+    catalog.write_table(kh, args.warehouse, "graph_khop",
+                        stage_params={"k": args.khop})
+    elapsed = time.time() - t0
+
+    hub_id = hub.collect()[0]["node"]
+    top = pr.orderBy(F.col("rank").desc(), "node").limit(3).collect()
+    print(json.dumps({
+        "edges": e.count(),
+        "nodes": deg.count(),
+        "seconds": round(elapsed, 2),
+        "hub": hub_id,
+        "khop_reachable": kh.count(),
+        "k": args.khop,
+        "top_pagerank": [[r["node"], round(r["rank"], 6)] for r in top],
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
