@@ -869,6 +869,33 @@ def q40_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats(docs, exact=True)
 
 
+def q41_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each view event gains its user's latest
+    prior-or-simultaneous purchase (operators/events.asof_join — the
+    union+window form; Spark has no native ASOF). Oracle: DuckDB's
+    native ASOF LEFT JOIN. The purchase side is pre-deduped to one row
+    per (user, ts) by greatest event_id on BOTH sides, so tie choice is
+    never engine-specific.
+    """
+    from thesis_ner_co_tri_training_spark.operators.events import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("event_id", "event_id").alias("event_id"),
+            F.max_by("value", "event_id").alias("value"),
+        )
+    )
+    return asof_join(views, purchases, key="user_id", ts="ts", prefix="p_",
+                     tiebreak="event_id").select(
+        "event_id", "user_id", "ts", "p_event_id", "p_ts", "p_value",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -911,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_event_quantiles": q38_event_quantiles,
         "q39_ann_ivf": q39_ann_ivf,
         "q40_corpus_stats": q40_corpus_stats,
+        "q41_asof_join": q41_asof_join,
     }  # (oracle_sql below registers q36/q37 via _q36_sql/_q37_sql)
 
 
@@ -1434,6 +1462,24 @@ def oracle_sql() -> dict[str, str]:
                    avg_doc_chars
             FROM dl LEFT JOIN tl ON dl.lang = tl.lang
             ORDER BY dl.lang
+        """,
+        "q41_asof_join": """
+            WITH v AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'view'
+            ),
+            p AS (
+                SELECT user_id, ts,
+                       arg_max(event_id, event_id) AS event_id,
+                       arg_max(value, event_id) AS value
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id, ts
+            )
+            SELECT v.event_id, v.user_id, v.ts,
+                   p.event_id AS p_event_id, p.ts AS p_ts,
+                   p.value AS p_value
+            FROM v ASOF LEFT JOIN p
+              ON v.user_id = p.user_id AND v.ts >= p.ts
         """,
         "q39_ann_ivf": """
             WITH q AS (

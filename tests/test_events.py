@@ -121,3 +121,32 @@ def test_user_sessions_streaming_append(spark, tmp_path):
     assert got <= batch
     assert closed <= got
     assert closed, "fixture produced no closed sessions — extend it"
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: inclusive <=, latest-right wins, tiebreak by the
+    greatest payload key at equal ts, null when no prior right exists."""
+    import datetime as dt
+
+    from thesis_ner_co_tri_training_spark.operators.events import asof_join
+
+    T = lambda m: dt.datetime(2026, 1, 1, 12, m)
+    left = spark.createDataFrame(
+        [(1, 10, T(0)),   # before any right -> nulls
+         (1, 11, T(5)),   # exactly at right ts=5 -> inclusive match
+         (1, 12, T(9)),   # latest right <= 9 is ts=5
+         (1, 13, T(30)),  # two rights at ts=20 -> greater event_id wins
+         (2, 20, T(7))],  # other user: its own right only
+        "user_id long, event_id long, ts timestamp_ntz")
+    right = spark.createDataFrame(
+        [(1, 100, T(5), 1.0), (1, 101, T(20), 2.0), (1, 102, T(20), 3.0),
+         (2, 200, T(6), 9.0)],
+        "user_id long, event_id long, ts timestamp_ntz, value double")
+    got = {r["event_id"]: (r["r_event_id"], r["r_ts"], r["r_value"])
+           for r in asof_join(left, right).collect()}
+    assert got[10] == (None, None, None)
+    assert got[11] == (100, T(5), 1.0)
+    assert got[12] == (100, T(5), 1.0)
+    assert got[13] == (102, T(20), 3.0)
+    assert got[20] == (200, T(6), 9.0)
+    assert len(got) == 5  # left-preserving: every left row exactly once

@@ -52,3 +52,61 @@ def session_summary(events: DataFrame, gap: str = "30 minutes",
             F.sum("n_events").alias("n_events"),
         )
     )
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str = "user_id",
+              ts: str = "ts", prefix: str = "r_",
+              tiebreak: str | None = None) -> DataFrame:
+    """Backward as-of join: each left row gains the columns of the
+    LATEST right row with right.ts <= left.ts for the same key (nulls
+    when none exists) — DuckDB/pandas `ASOF JOIN` semantics, which Spark
+    has no native operator for.
+
+    Scalable form: union both sides tagged, ONE window per key ordered
+    by (ts, side, tiebreak) with `last(payload, ignorenulls=True)` over
+    unbounded-preceding rows. One shuffle on the key, a per-partition
+    sort, no range explosion, no per-key collect — the same cost shape
+    as any keyed window, so it survives arbitrarily many rows per key.
+    (The naive alternatives do not: an inequality join is O(n*m) per
+    key, and a range-bucketed join duplicates rows per bucket.)
+
+    Equal timestamps: right rows sort BEFORE left rows (ts <= ts
+    matches, inclusive), and among equal-ts right rows the one with the
+    greatest `tiebreak` (default: first payload column) wins —
+    deterministic for any input. Right payload columns are prefixed.
+    """
+    pay_cols = [c for c in right.columns if c != key]
+    if tiebreak is None:
+        tiebreak = pay_cols[0]
+    pay_type = "struct<" + ", ".join(
+        f"`{f.name}`:{f.dataType.simpleString()}"
+        for f in right.schema.fields if f.name != key
+    ) + ">"
+    l = left.select(
+        "*",
+        F.col(ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(pay_type).alias("__p"),
+    )
+    r = right.select(
+        F.col(key),
+        F.col(ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(*[F.col(c).alias(c) for c in pay_cols]).alias("__p"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    from pyspark.sql import Window
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__ts", "__side", F.col(f"__p.{tiebreak}").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last("__p", ignorenulls=True).over(w)
+    return (
+        u.withColumn("__m", matched)
+        .filter(F.col("__side") == 1)
+        .select(
+            *left.columns,
+            *[F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in pay_cols],
+        )
+    )
