@@ -57,16 +57,20 @@ def main() -> int:
 
     # Hub by OUT-degree: the k-hop frontier follows edge direction, so a
     # total-degree hub can be a pure sink (reachable set = itself).
-    hub = (
+    # Collected once (tiny: limit 1) — reused for k_hop AND the summary,
+    # and guards the empty-edges warehouse instead of crashing after the
+    # first two graph_* tables were already written.
+    hub_rows = (
         deg.orderBy(F.col("out_deg").desc(), "node").limit(1)
-        .select(F.col("node"))
+        .select(F.col("node")).collect()
     )
-    kh = k_hop(e, hub, k=args.khop, src="subj_id", dst="obj_id")
+    hub_id = hub_rows[0]["node"] if hub_rows else None
+    hub = spark.createDataFrame(
+        [(hub_id,)] if hub_rows else [], deg.select("node").schema)
+    kh = k_hop(e, hub, k=args.khop)
     catalog.write_table(kh, args.warehouse, "graph_khop",
                         stage_params={"k": args.khop})
     elapsed = time.time() - t0
-
-    hub_id = hub.collect()[0]["node"]
     top = pr.orderBy(F.col("rank").desc(), "node").limit(3).collect()
     print(json.dumps({
         "edges": e.count(),

@@ -38,6 +38,10 @@ def main() -> int:
                          "corpus's gold plants (run_ner.py:558-571 mirror; "
                          "synthetic --pages mode only)")
     args = ap.parse_args()
+    if args.eval_report and (args.input or args.input_warc):
+        print("warning: --eval-report ignored (gold tables exist only for "
+              "synthetic --pages corpora, not --input/--input-warc)",
+              file=sys.stderr)
 
     from thesis_ner_co_tri_training_spark.plans.pipeline import run_pipeline
     from thesis_ner_co_tri_training_spark.session import get_spark

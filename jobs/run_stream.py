@@ -67,12 +67,14 @@ def main() -> int:
 
     # A drain that admitted zero input files commits no batch and never
     # creates the sink dir (first run on an empty --input, or a rerun with
-    # no new files before any data landed) — report 0 rows, don't crash.
+    # no new files before any data landed) — report 0 rows for THAT case
+    # only; a sink dir that exists but fails to read (corrupt footer,
+    # permissions) must stay fatal, not masquerade as an empty sink.
     data_dir = os.path.join(args.out, "data")
-    try:
-        rows = spark.read.parquet(data_dir).count()
-    except Exception:
-        rows = 0
+    import glob as _glob
+    has_files = bool(_glob.glob(os.path.join(data_dir, "**", "*.parquet"),
+                                recursive=True))
+    rows = spark.read.parquet(data_dir).count() if has_files else 0
     print(json.dumps({
         "what": args.what,
         "seconds": round(elapsed, 2),

@@ -81,10 +81,10 @@ def _khop_dict(df):
 
 def test_k_hop_fixture_graph(spark, edges_df):
     src = spark.createDataFrame([("a",)], "node string")
-    got = _khop_dict(k_hop(edges_df, src, k=2, src="subj_id", dst="obj_id"))
+    got = _khop_dict(k_hop(edges_df, src, k=2))
     assert got == oracle_k_hop(EDGES, ["a"], 2)
     # k large enough to exhaust the graph == transitive closure
-    got4 = _khop_dict(k_hop(edges_df, src, k=4, src="subj_id", dst="obj_id"))
+    got4 = _khop_dict(k_hop(edges_df, src, k=4))
     assert got4 == oracle_k_hop(EDGES, ["a"], 4)
 
 
@@ -93,7 +93,7 @@ def test_k_hop_fan_in_and_min_hops(spark):
     # b is hop-1 even though a longer a->c->?->b path could exist.
     edges = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
              ("d", "e"), ("e", "b")]  # e->b: b must stay hop 1
-    df = spark.createDataFrame(edges, "subj string, obj string")
+    df = spark.createDataFrame(edges, "subj_id string, obj_id string")
     src = spark.createDataFrame([("a",)], "node string")
     got = _khop_dict(k_hop(df, src, k=4))
     assert got == oracle_k_hop(edges, ["a"], 4)

@@ -78,6 +78,12 @@ def asof_join(left: DataFrame, right: DataFrame, key: str = "user_id",
     pay_cols = [c for c in right.columns if c != key]
     if tiebreak is None:
         tiebreak = pay_cols[0]
+    # SQL ASOF semantics: left.ts >= NULL is never true, so a right row
+    # with a null timestamp matches nothing (without this filter it
+    # would sort first under asc_nulls_first and act as an
+    # earliest-possible match). A left row with null ts likewise sorts
+    # before every right row and correctly gets a null match.
+    right = right.filter(F.col(ts).isNotNull())
     pay_type = "struct<" + ", ".join(
         f"`{f.name}`:{f.dataType.simpleString()}"
         for f in right.schema.fields if f.name != key

@@ -247,28 +247,30 @@ def corpus_stats(df: DataFrame, id_col: str = "doc_id",
         # cross-engine-proven form)
         F.filter(tokens_col(text_col), lambda t: t != "").alias("__t"),
     )
-    # Doc-level leg: compact rows, no explode — docs/tokens/bytes.
-    docs_leg = base.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size("__t")).cast("long").alias("n_tokens"),
-        (F.sum("n_chars") / F.count(F.lit(1))).alias("avg_doc_chars"),
-    )
-    # Token-level leg: only the distinct-cardinality needs the explode.
+    # Single pass: posexplode_outer emits every token WITH its position
+    # (and one all-null row for a token-less doc), so the doc-level
+    # aggregates ride the same exploded stream gated on "first row of
+    # the doc" (pos == 0 or pos IS NULL) — one scan, one tokenization,
+    # one shuffle. The obvious two-leg join form (doc leg + token leg)
+    # re-reads and re-tokenizes the whole corpus per leg: Catalyst has
+    # no common-subplan sharing (same trap degree_stats documents).
+    first = (F.col("pos") == 0) | F.col("pos").isNull()
     distinct_tokens = (
         F.count_distinct(F.col("tok")) if exact
         else F.approx_count_distinct("tok", rsd)
     )
-    toks_leg = (
-        base.select("lang", F.explode("__t").alias("tok"))
-        .groupBy("lang")
-        .agg(distinct_tokens.alias("n_distinct_tokens"))
-    )
     return (
-        docs_leg.join(toks_leg, "lang", "left")
-        .select(
-            "lang", "n_docs", "n_tokens",
-            F.coalesce("n_distinct_tokens", F.lit(0)).alias("n_distinct_tokens"),
-            "avg_doc_chars",
+        base.select(
+            "lang", "n_chars",
+            F.posexplode_outer("__t").alias("pos", "tok"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum(F.when(first, 1).otherwise(0)).alias("n_docs"),
+            F.count("tok").alias("n_tokens"),
+            distinct_tokens.alias("n_distinct_tokens"),
+            (F.sum(F.when(first, F.col("n_chars")).otherwise(0))
+             / F.sum(F.when(first, 1).otherwise(0))).alias("avg_doc_chars"),
         )
         .orderBy("lang")
     )

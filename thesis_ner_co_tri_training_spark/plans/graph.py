@@ -97,7 +97,7 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
 
 
 def k_hop(edges: DataFrame, sources: DataFrame, k: int = 2,
-          src: str = "subj", dst: str = "obj") -> DataFrame:
+          src: str = "subj_id", dst: str = "obj_id") -> DataFrame:
     """Nodes reachable in <= k directed hops: (node, hops, n_paths).
 
     hops = minimum hop count from the source set (sources are hop 0);
