@@ -896,6 +896,22 @@ def q41_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q42_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified training mix: src0 dropped, src1 halved,
+    src2 x2.25 (upsampled with a `copy` index), everything else kept.
+    Row fate is a pure md5 function of (doc_id, seed) — stable across
+    engines/retries/partitionings — so DuckDB recomputes it exactly.
+    """
+    from thesis_ner_co_tri_training_spark.operators.selection import mix_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return mix_corpus(
+        docs.select("doc_id", "source"),
+        {"src0": 0.0, "src1": 0.5, "src2": 2.25},
+        seed=7,
+    ).orderBy("doc_id", "copy")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -939,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_ann_ivf": q39_ann_ivf,
         "q40_corpus_stats": q40_corpus_stats,
         "q41_asof_join": q41_asof_join,
+        "q42_corpus_mix": q42_corpus_mix,
     }  # (oracle_sql below registers q36/q37 via _q36_sql/_q37_sql)
 
 
@@ -1462,6 +1479,28 @@ def oracle_sql() -> dict[str, str]:
                    avg_doc_chars
             FROM dl LEFT JOIN tl ON dl.lang = tl.lang
             ORDER BY dl.lang
+        """,
+        "q42_corpus_mix": """
+            WITH base AS (
+                SELECT doc_id, source,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|7'),
+                                       1, 15))::BIGINT
+                       / CAST(1152921504606846976 AS DOUBLE) AS u,
+                       CASE source WHEN 'src0' THEN 0.0
+                                   WHEN 'src1' THEN 0.5
+                                   WHEN 'src2' THEN 2.25
+                                   ELSE 1.0 END AS f
+                FROM documents
+            ),
+            n AS (
+                SELECT doc_id, source,
+                       CAST(floor(f) AS BIGINT)
+                       + CASE WHEN u < f - floor(f) THEN 1 ELSE 0 END AS n
+                FROM base
+            )
+            SELECT doc_id, source, unnest(generate_series(1, n)) AS copy
+            FROM n WHERE n >= 1
+            ORDER BY doc_id, copy
         """,
         "q41_asof_join": """
             WITH v AS (

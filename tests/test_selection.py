@@ -180,3 +180,29 @@ def test_train_dev_test_split_exact(spark):
         rows = sorted(got_df.collect(), key=lambda r: r["split_pos"])
         assert [r["pos"] for r in rows] == want  # membership AND order
     assert train.count() + dev.count() + test.count() == 97
+
+
+def test_mix_corpus_deterministic_upsampling(spark):
+    from thesis_ner_co_tri_training_spark.operators.selection import mix_corpus
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(300)], "doc_id long, source string")
+    fr = {"s0": 0.0, "s1": 2.0, "s2": 0.5}
+    out = mix_corpus(df, fr, seed=11).collect()
+    rows = [(r["doc_id"], r["source"], r["copy"]) for r in out]
+    # s0 dropped entirely; s1 exactly doubled (integer fraction: no
+    # randomness); s2 roughly halved
+    assert not any(s == "s0" for _, s, _ in rows)
+    s1 = [t for t in rows if t[1] == "s1"]
+    assert len(s1) == 200 and {c for _, _, c in s1} == {1, 2}
+    n_s2 = sum(1 for t in rows if t[1] == "s2")
+    assert 30 <= n_s2 <= 70  # ~50 of 100, md5-uniform
+    # fate is a pure function of (key, seed): partition layout must not
+    # change WHICH rows survive (the sample()/rand() failure mode)
+    again = mix_corpus(df.repartition(7), fr, seed=11).collect()
+    assert sorted(rows) == sorted(
+        (r["doc_id"], r["source"], r["copy"]) for r in again)
+    # different seed -> different survivors (not vacuously determinist)
+    other = mix_corpus(df, fr, seed=12).collect()
+    assert sorted(rows) != sorted(
+        (r["doc_id"], r["source"], r["copy"]) for r in other)

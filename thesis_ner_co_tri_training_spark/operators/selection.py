@@ -298,3 +298,47 @@ def random_draw(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
     """R4: fixed-size uniform draw (hack_exp.py:34,94 `choices(k=n)`;
     without replacement here — the trials only need a uniform subset)."""
     return df.orderBy(F.rand(seed)).limit(n)
+
+
+def mix_corpus(df: DataFrame, fractions: dict[str, float],
+               source_col: str = "source", key_col: str = "doc_id",
+               default_fraction: float = 1.0, seed: int = 42) -> DataFrame:
+    """Deterministic stratified training-mix sampling with upsampling.
+
+    `fractions[source]` is the target epochs for that source: 0.5 keeps
+    ~half the rows, 2.25 emits every row twice plus ~a quarter of them a
+    third time (the standard pretraining-mix semantic). Each row's fate
+    is a pure function of (key, seed): u = md5-uniform in [0,1), copies
+    = floor(f) + (u < frac(f)). Output adds a `copy` column (1..n).
+
+    Why not sample()/rand(): their output depends on partition layout,
+    so a retry, AQE re-plan or repartition changes WHICH rows survive —
+    unacceptable for a resumable pipeline. The md5 acceptance is stable
+    across engines, retries and partitionings, and DuckDB-expressible
+    (q42's oracle recomputes it exactly: ('0x' || substr(md5(...),1,15))
+    ::BIGINT / 2^60).
+
+    Scale: one narrow projection + filter + bounded explode — no
+    shuffle, no count() pre-pass; fractions are plan literals.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col(key_col).cast("string"),
+                                  F.lit(str(seed)))), 1, 15),
+            16, 10,
+        ).cast("bigint").cast("double") / F.lit(float(1 << 60))
+    )
+    frac = F.lit(float(default_fraction))
+    for s, f in sorted(fractions.items()):
+        frac = F.when(F.col(source_col) == s, F.lit(float(f))).otherwise(frac)
+    n_copies = (
+        F.floor(frac).cast("long")
+        + F.when(u < (frac - F.floor(frac)), F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") >= 1)
+        .withColumn("copy", F.explode(F.sequence(F.lit(1).cast("long"), F.col("__n"))))
+        .drop("__n")
+    )
