@@ -912,6 +912,20 @@ def q42_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "copy")
 
 
+def q43_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup -> view -> purchase funnel per user
+    (operators/events.funnel_stages: single-Exchange chained windows).
+    A step only counts at or after the previous step's first completion.
+    """
+    from thesis_ner_co_tri_training_spark.operators.events import funnel_stages
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_stages(ev, ["signup", "view", "purchase"]).select(
+        "user_id", "t_signup", "t_view", "t_purchase",
+        F.col("stage").cast("long").alias("stage"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -956,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_corpus_stats": q40_corpus_stats,
         "q41_asof_join": q41_asof_join,
         "q42_corpus_mix": q42_corpus_mix,
+        "q43_funnel": q43_funnel,
     }  # (oracle_sql below registers q36/q37 via _q36_sql/_q37_sql)
 
 
@@ -1479,6 +1494,34 @@ def oracle_sql() -> dict[str, str]:
                    avg_doc_chars
             FROM dl LEFT JOIN tl ON dl.lang = tl.lang
             ORDER BY dl.lang
+        """,
+        "q43_funnel": """
+            WITH s AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'signup' THEN ts END)
+                           AS t_signup
+                FROM events GROUP BY user_id
+            ),
+            v AS (
+                SELECT e.user_id, min(e.ts) AS t_view
+                FROM events e JOIN s ON e.user_id = s.user_id
+                WHERE e.event_type = 'view' AND e.ts >= s.t_signup
+                GROUP BY e.user_id
+            ),
+            p AS (
+                SELECT e.user_id, min(e.ts) AS t_purchase
+                FROM events e JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'purchase' AND e.ts >= v.t_view
+                GROUP BY e.user_id
+            )
+            SELECT s.user_id, s.t_signup, v.t_view, p.t_purchase,
+                   CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                             WHEN v.t_view IS NOT NULL THEN 2
+                             WHEN s.t_signup IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS stage
+            FROM s LEFT JOIN v ON s.user_id = v.user_id
+                   LEFT JOIN p ON s.user_id = p.user_id
+            ORDER BY s.user_id
         """,
         "q42_corpus_mix": """
             WITH base AS (

@@ -150,3 +150,30 @@ def test_asof_join_semantics(spark):
     assert got[13] == (102, T(20), 3.0)
     assert got[20] == (200, T(6), 9.0)
     assert len(got) == 5  # left-preserving: every left row exactly once
+
+
+def test_funnel_stages_order_matters(spark):
+    """A step completed BEFORE the previous step must not count; equal
+    timestamps (>=) do count; stage = deepest in-order step."""
+    import datetime as dt
+
+    from thesis_ner_co_tri_training_spark.operators.events import funnel_stages
+
+    T = lambda m: dt.datetime(2026, 1, 1, 12, m)
+    ev = spark.createDataFrame(
+        [  # user 1: full in-order funnel
+         (1, "signup", T(0)), (1, "view", T(1)), (1, "purchase", T(2)),
+         # user 2: purchased BEFORE viewing -> stage 2, purchase not credited
+         (2, "signup", T(0)), (2, "purchase", T(1)), (2, "view", T(2)),
+         # user 3: view at the exact signup instant (>= counts) -> stage 2
+         (3, "signup", T(5)), (3, "view", T(5)),
+         # user 4: never signed up -> stage 0 even with view+purchase
+         (4, "view", T(0)), (4, "purchase", T(1))],
+        "user_id long, event_type string, ts timestamp_ntz")
+    got = {r["user_id"]: (r["stage"], r["t_view"], r["t_purchase"])
+           for r in funnel_stages(ev, ["signup", "view", "purchase"]).collect()}
+    assert got[1][0] == 3
+    assert got[2] == (2, T(2), None)
+    assert got[3][0] == 2 and got[3][1] == T(5)
+    assert got[4] == (0, None, None)
+    assert len(got) == 4

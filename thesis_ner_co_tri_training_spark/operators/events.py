@@ -116,3 +116,45 @@ def asof_join(left: DataFrame, right: DataFrame, key: str = "user_id",
             *[F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in pay_cols],
         )
     )
+
+
+def funnel_stages(events: DataFrame, steps: list[str],
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """Ordered-funnel analysis: per user, the earliest time each step was
+    reached AFTER (>=) the previous step, plus the deepest stage reached.
+
+    Output: (user, t_<step> per step, stage) — stage = number of steps
+    completed in order; a user who purchased before ever signing up does
+    NOT credit the purchase step (ts >= previous-step time is required).
+
+    Shape: one chain of whole-partition windows over the SAME user
+    partitioning — each step's column references the previous step's, so
+    Catalyst plans a single Exchange on the user key followed by window
+    ops, then one distinct per user. No self-joins, no per-step shuffle;
+    this is the funnel form that survives billions of events per day.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col)
+    d = events
+    prev_t: F.Column | None = None
+    t_cols: list[str] = []
+    for step in steps:
+        cond = F.col(type_col) == step
+        if prev_t is not None:
+            cond = cond & (F.col(ts_col) >= prev_t)
+        name = f"t_{step}"
+        d = d.withColumn(name, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev_t = F.col(name)
+        t_cols.append(name)
+    # build shallow->deep so the DEEPEST completed step is the outermost
+    # (first-evaluated) branch of the when-chain
+    stage = F.lit(0)
+    for i, name in enumerate(t_cols):
+        stage = F.when(F.col(name).isNotNull(), F.lit(i + 1)).otherwise(stage)
+    return (
+        d.select(user_col, *t_cols).distinct()
+        .withColumn("stage", stage)
+        .orderBy(user_col)
+    )
