@@ -926,6 +926,29 @@ def q43_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q44_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level rollup (event_type, hour) with grouping_id: detail
+    rows + per-type subtotals + grand total in ONE pass (Spark expands
+    grouping sets map-side; no per-level re-scan). Decimal-summed values
+    per the cross-engine float-sum rule (q18).
+    """
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hr"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    return (
+        d.rollup("event_type", "hr")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").cast("double").alias("sum_value"),
+        )
+        .orderBy("gid", "event_type", "hr")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -971,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_asof_join": q41_asof_join,
         "q42_corpus_mix": q42_corpus_mix,
         "q43_funnel": q43_funnel,
+        "q44_rollup": q44_rollup,
     }  # (oracle_sql below registers q36/q37 via _q36_sql/_q37_sql)
 
 
@@ -1494,6 +1518,19 @@ def oracle_sql() -> dict[str, str]:
                    avg_doc_chars
             FROM dl LEFT JOIN tl ON dl.lang = tl.lang
             ORDER BY dl.lang
+        """,
+        "q44_rollup": """
+            WITH d AS (
+                SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+                       CAST(value AS DECIMAL(18,4)) AS v
+                FROM events
+            )
+            SELECT event_type, hr,
+                   CAST(GROUPING(event_type, hr) AS BIGINT) AS gid,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(v) AS DOUBLE) AS sum_value
+            FROM d GROUP BY ROLLUP (event_type, hr)
+            ORDER BY gid, event_type, hr
         """,
         "q43_funnel": """
             WITH s AS (
