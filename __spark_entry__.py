@@ -949,6 +949,39 @@ def q44_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q45_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase (salted) aggregation pinned EQUAL to the
+    plain one-phase GROUP BY oracle: per-user event count, decimal sum
+    (exact, order-free — the float-sum rule), min/max event id. The
+    contract proves the salting rewrite changes the SHUFFLE SHAPE (a
+    hot key spreads over 16 reducers) but never the answer.
+    """
+    from thesis_ner_co_tri_training_spark.operators.selection import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(18,4)").alias("v"),
+        "event_id",
+    )
+    out = salted_agg(
+        d, "user_id",
+        [("v", "sum"), ("event_id", "count"),
+         ("event_id", "min"), ("event_id", "max")],
+        salt=16,
+    )
+    return (
+        out.select(
+            "user_id",
+            F.col("count_event_id").alias("n"),
+            F.col("sum_v").cast("double").alias("sum_value"),
+            F.col("min_event_id").alias("min_event_id"),
+            F.col("max_event_id").alias("max_event_id"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -995,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_corpus_mix": q42_corpus_mix,
         "q43_funnel": q43_funnel,
         "q44_rollup": q44_rollup,
+        "q45_salted_agg": q45_salted_agg,
     }  # (oracle_sql below registers q36/q37 via _q36_sql/_q37_sql)
 
 
@@ -1518,6 +1552,17 @@ def oracle_sql() -> dict[str, str]:
                    avg_doc_chars
             FROM dl LEFT JOIN tl ON dl.lang = tl.lang
             ORDER BY dl.lang
+        """,
+        "q45_salted_agg": """
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                       AS sum_value,
+                   min(event_id) AS min_event_id,
+                   max(event_id) AS max_event_id
+            FROM events
+            GROUP BY user_id
+            ORDER BY user_id
         """,
         "q44_rollup": """
             WITH d AS (

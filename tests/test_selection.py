@@ -206,3 +206,24 @@ def test_mix_corpus_deterministic_upsampling(spark):
     other = mix_corpus(df, fr, seed=12).collect()
     assert sorted(rows) != sorted(
         (r["doc_id"], r["source"], r["copy"]) for r in other)
+
+
+def test_salted_agg_matches_plain(spark):
+    """Salted two-phase aggregation must equal the one-phase groupBy on
+    a deliberately skewed key (90% of rows share key 0)."""
+    from pyspark.sql import functions as F
+
+    from thesis_ner_co_tri_training_spark.operators.selection import salted_agg
+
+    rows = [(0 if i % 10 else i, i, float(i % 7)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, x long, v double")
+    d = df.select("k", "x", F.col("v").cast("decimal(18,4)").alias("v"))
+    got = {r["k"]: (r["count_x"], r["sum_v"], r["min_x"], r["max_x"])
+           for r in salted_agg(
+               d, "k", [("x", "count"), ("v", "sum"),
+                        ("x", "min"), ("x", "max")], salt=8).collect()}
+    want = {r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+            for r in d.groupBy("k").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+                F.min("x").alias("mn"), F.max("x").alias("mx")).collect()}
+    assert got == want

@@ -342,3 +342,39 @@ def mix_corpus(df: DataFrame, fractions: dict[str, float],
         .withColumn("copy", F.explode(F.sequence(F.lit(1).cast("long"), F.col("__n"))))
         .drop("__n")
     )
+
+
+def salted_agg(df: DataFrame, key: str | list[str],
+               aggs: dict[str, str] | list[tuple[str, str]],
+               salt: int = 16, seed: int = 42) -> DataFrame:
+    """Skew-safe two-phase aggregation: partial-aggregate on
+    (key, salt) then finish on key — a single hot key spreads over
+    `salt` reducers in phase 1 and phase 2 only merges `salt` tiny
+    partials per key. Exact for the decomposable aggregates supported
+    here: aggs maps column -> 'sum' | 'count' | 'min' | 'max' (pass a
+    list of (column, how) pairs to aggregate one column several ways).
+
+    The salt hashes row content with a fixed seed (xxhash64), never a
+    nondeterministic id — retried tasks re-salt identically, keeping
+    results and partition placement reproducible. AQE's skew-join
+    handling covers joins; this is the aggregation-side analog Spark
+    has no automatic rewrite for (map-side partial aggregation already
+    helps, but a hot key still lands on ONE reducer for the final
+    merge; with salting that final merge sees `salt` rows, not all).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    items = list(aggs.items()) if isinstance(aggs, dict) else list(aggs)
+    merge = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    first = {"sum": F.sum, "count": lambda c: F.count(F.lit(1)),
+             "min": F.min, "max": F.max}
+    salted = df.withColumn(
+        "__salt",
+        F.abs(F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))) % salt,
+    )
+    partial = salted.groupBy(*keys, "__salt").agg(*[
+        first[how](c).alias(f"__p_{c}_{how}") for c, how in items
+    ])
+    return partial.groupBy(*keys).agg(*[
+        merge[how](f"__p_{c}_{how}").alias(f"{how}_{c}")
+        for c, how in items
+    ])
