@@ -15,7 +15,6 @@ functions) — no Python in the hot path.
 
 from __future__ import annotations
 
-from collections import Counter
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
