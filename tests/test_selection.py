@@ -215,15 +215,20 @@ def test_salted_agg_matches_plain(spark):
 
     from thesis_ner_co_tri_training_spark.operators.selection import salted_agg
 
-    rows = [(0 if i % 10 else i, i, float(i % 7)) for i in range(2000)]
+    rows = [(0 if i % 10 else i, i, None if i % 5 == 0 else float(i % 7))
+            for i in range(2000)]  # nullable v: count must skip nulls
     df = spark.createDataFrame(rows, "k long, x long, v double")
     d = df.select("k", "x", F.col("v").cast("decimal(18,4)").alias("v"))
-    got = {r["k"]: (r["count_x"], r["sum_v"], r["min_x"], r["max_x"])
+    got = {r["k"]: (r["count_x"], r["count_v"], r["sum_v"],
+                    r["min_x"], r["max_x"])
            for r in salted_agg(
-               d, "k", [("x", "count"), ("v", "sum"),
+               d, "k", [("x", "count"), ("v", "count"), ("v", "sum"),
                         ("x", "min"), ("x", "max")], salt=8).collect()}
-    want = {r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+    want = {r["k"]: (r["n"], r["nv"], r["s"], r["mn"], r["mx"])
             for r in d.groupBy("k").agg(
-                F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+                F.count("x").alias("n"), F.count("v").alias("nv"),
+                F.sum("v").alias("s"),
                 F.min("x").alias("mn"), F.max("x").alias("mx")).collect()}
     assert got == want
+    # the null-skipping distinction is actually exercised
+    assert any(t[0] != t[1] for t in got.values())

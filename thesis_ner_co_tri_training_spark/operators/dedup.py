@@ -145,16 +145,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     # dedup shuffle would be pure waste here. (The shingle helper's own
     # _widen already spreads undersized local scans to full width.)
     if hasher == "md5":
+        from ..functions.hashutil import md5_long
+
         def _shash(i: int) -> F.Column:
-            return F.conv(
-                F.substring(F.md5(F.concat_ws("|", F.col("s"), F.lit(str(i)))), 1, 15),
-                16, 10).cast("bigint")
+            return md5_long(F.col("s"), F.lit(str(i)))
 
         def _bhash(b: int, cols: list) -> F.Column:
-            return F.conv(
-                F.substring(F.md5(F.concat_ws(
-                    "|", F.lit(str(b)), *[c.cast("string") for c in cols])), 1, 15),
-                16, 10).cast("bigint")
+            return md5_long(F.lit(str(b)), *[c.cast("string") for c in cols])
     else:
         def _shash(i: int) -> F.Column:
             return F.xxhash64("s", F.lit(i))
@@ -239,8 +236,11 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
     # aggregation with map-side partials beats interpreted per-row
     # higher-order folds — same reasoning as minhash_lsh_pairs).
     if hasher == "md5":
+        from ..functions.hashutil import md5_long
+
         assert bits <= 60, "md5 hex-prefix family yields 60 usable bits"
-        th = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("bigint")
+        # single arg: concat_ws adds no separator, bytes identical to md5(t)
+        th = md5_long(F.col("t"))
     else:
         th = F.xxhash64("t")
     ex = _widen(df).select(

@@ -321,13 +321,16 @@ def mix_corpus(df: DataFrame, fractions: dict[str, float],
     Scale: one narrow projection + filter + bounded explode — no
     shuffle, no count() pre-pass; fractions are plan literals.
     """
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", F.col(key_col).cast("string"),
-                                  F.lit(str(seed)))), 1, 15),
-            16, 10,
-        ).cast("bigint").cast("double") / F.lit(float(1 << 60))
+    from ..functions.hashutil import md5_uniform
+
+    # isNotNull gate: concat_ws SKIPS nulls, so without it every
+    # NULL-key row would share md5(seed)'s fate (and diverge from the
+    # NULL-propagating `key || '|seed'` the DuckDB oracle computes). A
+    # null key yields u = NULL -> the fractional draw never fires and
+    # the row gets exactly floor(fraction) copies, both engines alike.
+    u = F.when(
+        F.col(key_col).isNotNull(),
+        md5_uniform(F.col(key_col).cast("string"), F.lit(str(seed))),
     )
     frac = F.lit(float(default_fraction))
     for s, f in sorted(fractions.items()):
@@ -365,11 +368,16 @@ def salted_agg(df: DataFrame, key: str | list[str],
     keys = [key] if isinstance(key, str) else list(key)
     items = list(aggs.items()) if isinstance(aggs, dict) else list(aggs)
     merge = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
-    first = {"sum": F.sum, "count": lambda c: F.count(F.lit(1)),
+    # count = SQL count(col): non-null values only, like the one-phase
+    # groupBy it must equal (count(*) would inflate on nullable columns)
+    first = {"sum": F.sum, "count": lambda c: F.count(F.col(c)),
              "min": F.min, "max": F.max}
+    # pmod, not abs(...)%: abs(Long.MIN_VALUE) overflows and throws
+    # under ANSI mode
     salted = df.withColumn(
         "__salt",
-        F.abs(F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))) % salt,
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed)),
+               F.lit(salt)),
     )
     partial = salted.groupBy(*keys, "__salt").agg(*[
         first[how](c).alias(f"__p_{c}_{how}") for c, how in items

@@ -50,7 +50,9 @@ def salted_repartition(df: DataFrame, key: str, n: int, salt: int = 8,
     """
     cols = salt_cols if salt_cols is not None else df.columns
     row_hash = F.xxhash64(*[F.col(c) for c in cols], F.lit(seed))
-    return df.repartition(n, F.col(key), F.abs(row_hash) % salt)
+    # pmod: abs(Long.MIN_VALUE) overflows (ANSI throws) on the one-in-2^64
+    # row whose hash is the minimum long
+    return df.repartition(n, F.col(key), F.pmod(row_hash, F.lit(salt)))
 
 
 DEFAULT_PARAMS: dict[str, Any] = {
