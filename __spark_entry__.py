@@ -465,19 +465,28 @@ def q18_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q19_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidate pairs (xxhash64 — no SQL oracle)."""
+    """MinHash-LSH near-dup candidate pairs at the engine-default banding
+    (32 hashes x 8 bands), md5 hash family so the full signature -> band
+    -> bucket -> pair pipeline is DuckDB-oracled (r02 carried this as
+    xxhash64/no_oracle; the xxhash64 fast path stays the operator default
+    and keeps its pure-Python value oracle in tests/test_hash_oracles.py
+    plus the cross-family verified-pairs equality test in test_dedup.py)."""
     from thesis_ner_co_tri_training_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs).orderBy("a", "b")
+    return minhash_lsh_pairs(docs, num_hashes=32, bands=8,
+                             hasher="md5").orderBy("a", "b")
 
 
 def q20_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per doc (xxhash64 — no SQL oracle)."""
+    """48-bit SimHash per doc, md5 hash family — fully DuckDB-oracled
+    (r02 carried this as 64-bit xxhash64/no_oracle; that fast path keeps
+    its pure-Python XXH64 value oracle). 48 bits distinguishes this entry
+    from the 60-bit q37 twin while exercising the same bit-vote plan."""
     from thesis_ner_co_tri_training_spark.operators.dedup import simhash
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash(docs)
+    return simhash(docs, bits=48, hasher="md5")
 
 
 def q21_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -792,10 +801,11 @@ def q34_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q36_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs with the md5-derived hash family —
-    byte-reproducible in any engine with md5, so unlike q19 (xxhash64)
-    this one is FULLY DuckDB-oracled: signatures, band buckets, the
-    bucket-size skew guard and the pair join all hash-match."""
+    """MinHash-LSH candidate pairs with the md5-derived hash family at a
+    COARSER banding (16 hashes x 4 bands) than q19's engine default —
+    byte-reproducible in any engine with md5, so FULLY DuckDB-oracled:
+    signatures, band buckets, the bucket-size skew guard and the pair
+    join all hash-match."""
     from thesis_ner_co_tri_training_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -804,8 +814,9 @@ def q36_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q37_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash with the md5 hash family — the fully DuckDB-oracled
-    twin of q20 (xxhash64): per-bit sign votes, bit assembly and all."""
+    """60-bit SimHash with the md5 hash family (max usable width of the
+    15-hex-digit prefix): per-bit sign votes, bit assembly and all are
+    DuckDB-oracled, complementing the 48-bit q20."""
     from thesis_ner_co_tri_training_spark.operators.dedup import simhash
 
     docs = _t(spark, sf_dir, "documents")
@@ -1029,7 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_funnel": q43_funnel,
         "q44_rollup": q44_rollup,
         "q45_salted_agg": q45_salted_agg,
-    }  # (oracle_sql below registers q36/q37 via _q36_sql/_q37_sql)
+    }
 
 
 _Q22_SQL = f"""
@@ -1517,6 +1528,8 @@ def oracle_sql() -> dict[str, str]:
             FROM outd o FULL OUTER JOIN ind i ON o.node = i.node
         """,
         "q34_pii_redaction": _q34_sql(),
+        "q19_minhash_pairs": _q36_sql(num_hashes=32, bands=8),
+        "q20_simhash": _q37_sql(bits=48),
         "q36_minhash_md5": _q36_sql(),
         "q37_simhash_md5": _q37_sql(),
         "q38_event_quantiles": """

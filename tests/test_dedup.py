@@ -193,6 +193,24 @@ def test_embedding_near_dups_empty_input(spark):
     assert embedding_near_dups(df, bucketed=False).count() == 0
 
 
+def test_hash_families_agree_on_verified_pairs(spark):
+    """The xxhash64 fast path and the md5 reproducible path are different
+    hash families, so their LSH CANDIDATE sets may differ — but after the
+    exact n-gram Jaccard verify the surviving near-dup pairs must agree
+    (recall at the default 32x8 banding is ~1 for jaccard >= 0.8, and the
+    verify step is hash-free). This is the bridge that lets the contract
+    entries (q19/q36, md5) vouch for the engine default (xxhash64)."""
+    df = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = {}
+    for fam in ("xxhash64", "md5"):
+        cands = minhash_lsh_pairs(df, hasher=fam)
+        out[fam] = {(r["a"], r["b"]): r["jaccard"]
+                    for r in ngram_jaccard_pairs(df, cands,
+                                                 threshold=0.8).collect()}
+    assert out["xxhash64"] == out["md5"]
+    assert out["md5"]  # non-vacuous: real near-dups exist at sf0.01
+
+
 def test_near_dup_clusters_fixture(spark, docs):
     """On the known 5-doc fixture: docs 1/2/3/4 form one near-dup cluster
     (1 is the keeper), doc 5 is a singleton keeper."""
