@@ -118,7 +118,7 @@ def _ceiling_worker(files: list[str]) -> tuple[int, int]:
     import pyarrow.parquet as pq
 
     from thesis_ner_co_tri_training_spark.functions.simfn import (
-        avg_confident_score_flat, cosine_similarity)
+        avg_confident_score_flat)
     from thesis_ner_co_tri_training_spark.functions.textnorm import (
         extract_text, split_sentences)
     from thesis_ner_co_tri_training_spark.operators import tagging
@@ -138,9 +138,7 @@ def _ceiling_worker(files: list[str]) -> tuple[int, int]:
                 confs_v = [v[1] for v in views]
                 cfds = [avg_confident_score_flat(t, c, ignore_o=True)
                         for t, c in views]
-                cosines = [cosine_similarity(tags_v[0], tags_v[1]),
-                           cosine_similarity(tags_v[1], tags_v[2]),
-                           cosine_similarity(tags_v[0], tags_v[2])]
+                cosines = tagging.view_cosines(tags_v[0], tags_v[1], tags_v[2])
                 if vote_sentence_flat(tags_v, confs_v, cfds, cosines,
                                       0.7, 0.7, 0.6):
                     n_kept += 1

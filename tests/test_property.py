@@ -18,6 +18,37 @@ SET = settings(max_examples=8, deadline=None,
                suppress_health_check=[HealthCheck.too_slow])
 
 
+# HTML-soup generator: fragments that exercise every fast-scanner branch —
+# plain text, entities (well- and mal-formed), tags (block/inline/skip/
+# exotic), quote and bracket garbage. Joined, they produce documents the
+# scanner sometimes accepts and sometimes rejects; either way the output
+# must equal the stdlib-parser path byte-for-byte. No Spark: pure CPU, so
+# the example budget can be large.
+_SOUP = st.lists(
+    st.one_of(
+        st.text(alphabet="ab &;<>/\"'=!-", max_size=6),
+        st.text(max_size=8),
+        st.sampled_from([
+            "<p>", "</p>", "<br/>", "<div class='x'>", "</div>",
+            "<span a=\"1\">", "</span>", "<script>", "</script>",
+            "<!-- c -->", "&amp;", "&am", "p;", "&#65;", "&uuml;",
+            "<p a=\">\">", "<my-tag>", "< p", "<3", "<ul><li>x",
+        ]),
+    ),
+    max_size=12,
+)
+
+
+@given(_SOUP)
+@settings(max_examples=300, deadline=None)
+def test_extract_text_fast_path_equals_parser(frags):
+    from tests.test_textnorm import _parser_extract
+    from thesis_ner_co_tri_training_spark.functions.textnorm import extract_text
+
+    doc = "".join(frags)
+    assert extract_text(doc) == _parser_extract(doc)
+
+
 @given(st.lists(TEXT, min_size=1, max_size=40))
 @SET
 def test_strip_punct_jvm_python_parity(spark, texts):

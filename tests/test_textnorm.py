@@ -31,6 +31,58 @@ def test_extract_text_adversarial_entities():
     assert extract_text(html_doc) == "a & b über 'x'\nspaced out"
 
 
+def _parser_extract(html_doc: str) -> str:
+    """The stdlib-parser path, bypassing the fast scanner — the semantic
+    definition the fast path must match byte-for-byte."""
+    from thesis_ner_co_tri_training_spark.functions import textnorm
+
+    parser = textnorm._TextExtractor()
+    parser.feed(html_doc)
+    parser.close()
+    raw = "".join(parser.parts)
+    lines = []
+    for line in raw.split("\n"):
+        line = textnorm._WS_RE.sub(" ", line).strip()
+        if line:
+            lines.append(line)
+    return "\n".join(lines)
+
+
+def test_fast_scanner_equals_parser_on_corpus_and_adversarial():
+    from thesis_ner_co_tri_training_spark.functions.textnorm import _extract_fast
+
+    # the synthetic corpus must take the fast path AND match the parser
+    for pid in range(100):
+        h = gen_page(pid)["html"].decode("utf-8")
+        assert _extract_fast(h) is not None, f"page {pid} fell back"
+        assert extract_text(h) == _parser_extract(h)
+    # adversarial inputs: fast path must either bail (None) or match
+    cases = [
+        '<p a="x>y">tail</p>',            # '>' inside quoted attr
+        '<p a="x<y">tail</p>',            # '<' inside quoted attr
+        "<!-- comment -->a<p>b</p>",      # comment
+        "<?pi ?>a", "<!DOCTYPE html><p>a</p>",
+        "<script>x<y</script>after",      # cdata mode
+        "<SCRIPT>x</SCRIPT>after", "<style>p{}</style>t",
+        "<my-tag>a</my-tag>", "< p>a</ p>", "<3 hearts <p>x</p>",
+        "a&am<span>p;b</span>",           # entity split across data runs
+        "a&amp;amp;b", "&notit; &notin;", "x &#65; &#x41; &#xg;",
+        "<p/>a<br/>b<br />c", "<p  class=x  >y</p>",
+        '<a href="u">t</a>', "<p a='1' b=\"2\" c=3>z</p>",
+        "<p", "</p", "text < other > text", "<>", "</>", "<p\n\tclass=x>nl</p>",
+        "tail<p>block", "<ul><li>i1<li>i2</ul>", "&uuml;ber <b>bold</b>",
+        '<p title="a&amp;b">c</p>', "<div><p>nested</p></div>",
+    ]
+    for h in cases:
+        fast = _extract_fast(h)
+        want = _parser_extract(h)
+        assert extract_text(h) == want, h
+        if fast is not None:
+            lines = [l for l in (re.sub(r"[ \t\r\f\v]+", " ", x).strip()
+                                 for x in fast.split("\n")) if l]
+            assert "\n".join(lines) == want, h
+
+
 def test_normalize_line_matches_reference_semantics():
     # co_training.py:60-61: strip then html.unescape
     raw = "  Caf&eacute; &amp; Bar \n"

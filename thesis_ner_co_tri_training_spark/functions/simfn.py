@@ -36,23 +36,22 @@ TAG_RENAME = [
 
 # ----------------------------- pure-Python oracles -----------------------
 
-def cosine_similarity(a_tags: list[str], b_tags: list[str]) -> float:
-    """Reference utils.py:51-70 verbatim semantics.
+def tag_counts_py(tags: list[str]) -> dict[str, int]:
+    """Bag-of-tags count dict (the Counter() of reference utils.py:55)."""
+    vals: dict[str, int] = {}
+    for t in tags:
+        vals[t] = vals.get(t, 0) + 1
+    return vals
 
-    Implementation is a plain-dict rewrite of the reference's
-    Counter/set-union/zip form — RESULT-identical (not line-identical):
-    every intermediate (counts, dot, squared norms) is a small-int sum,
-    so the only float operations are the same `sqrt * sqrt` divisor and
-    division the reference performs on identical integer operands —
-    bit-identical output, ~3x faster in the fused tagging worker where
-    this runs three times per sentence.
-    """
-    a_vals: dict[str, int] = {}
-    for t in a_tags:
-        a_vals[t] = a_vals.get(t, 0) + 1
-    b_vals: dict[str, int] = {}
-    for t in b_tags:
-        b_vals[t] = b_vals.get(t, 0) + 1
+
+def cosine_from_counts(a_vals: dict[str, int], b_vals: dict[str, int]) -> float:
+    """Cosine of two bag-of-tags count dicts — the arithmetic half of
+    cosine_similarity(). Split out so the fused tri-view tagging worker
+    can build each view's count dict ONCE and reuse it across the three
+    pairwise cosines (halves the dict churn of the hottest worker loop —
+    allocation rate is what caps 8->32 scaling on one memory system);
+    cosine_similarity() composes the same two halves, so oracle and
+    engine still share one code path."""
     na = 0
     for v in a_vals.values():
         na += v * v
@@ -74,6 +73,20 @@ def cosine_similarity(a_tags: list[str], b_tags: list[str]) -> float:
     return round(cos, 4)
 
 
+def cosine_similarity(a_tags: list[str], b_tags: list[str]) -> float:
+    """Reference utils.py:51-70 verbatim semantics.
+
+    Implementation is a plain-dict rewrite of the reference's
+    Counter/set-union/zip form — RESULT-identical (not line-identical):
+    every intermediate (counts, dot, squared norms) is a small-int sum,
+    so the only float operations are the same `sqrt * sqrt` divisor and
+    division the reference performs on identical integer operands —
+    bit-identical output, ~3x faster in the fused tagging worker where
+    this runs three times per sentence.
+    """
+    return cosine_from_counts(tag_counts_py(a_tags), tag_counts_py(b_tags))
+
+
 def avg_confident_score(preds: list[dict], ignore_o: bool = True) -> float:
     """Reference utils.py:72-88 verbatim semantics."""
     if ignore_o:
@@ -90,17 +103,24 @@ def avg_confident_score(preds: list[dict], ignore_o: bool = True) -> float:
 def avg_confident_score_flat(tags: list[str], confs: list[float],
                              ignore_o: bool = True) -> float:
     """avg_confident_score over parallel (tags, confs) arrays — identical
-    arithmetic (sum/len then one round-4), array form for the flat
-    tagging path."""
+    arithmetic (left-to-right float sum from 0, then sum/len and one
+    round-4; 0.0+x == x exactly so the accumulator form is bit-identical
+    to sum(list)), without materializing the intermediate score list
+    (hot-worker allocation cut)."""
+    s = 0.0
+    n = 0
     if ignore_o:
-        scores = [c for t, c in zip(tags, confs) if t != "O"]
+        for t, c in zip(tags, confs):
+            if t != "O":
+                s += c
+                n += 1
     else:
-        scores = list(confs)
-    try:
-        avg = sum(scores) / len(scores)
-    except ZeroDivisionError:
-        avg = 0
-    return round(avg, 4)
+        for c in confs:
+            s += c
+        n = len(confs)
+    if n == 0:
+        return 0
+    return round(s / n, 4)
 
 
 def rename_tags(text: str) -> str:

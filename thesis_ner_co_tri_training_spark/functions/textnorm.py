@@ -77,18 +77,115 @@ class _TextExtractor(HTMLParser):
             self.parts.append(data)
 
 
+# Fast-path tag scanner. A match is a plain start/end tag with a strict
+# name and attrs that cannot hide a '>' (see _FAST_ATTRS_OK). Anything
+# else (comments, PIs, CDATA, '<' in data, exotic tag names, unclosed
+# quotes) leaves a '<' behind or fails validation and routes the whole
+# document to the stdlib parser.
+_FAST_TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[\t\n\r\f ][^<>]*)?)/?>")
+# attrs are whitespace-separated runs where every quote opens a balanced
+# quoted value with no '<'/'>' inside. If the tag regex stopped at a '>'
+# INSIDE a quoted value, the captured attrs end with an unclosed quote and
+# this fullmatch fails -> fallback. If it passes, HTMLParser would end the
+# tag at the same '>' and emit the same start/end events.
+_FAST_ATTRS_OK = re.compile(
+    "(?:[\t\n\r\f ]+(?:\"[^\"<>]*\"|'[^'<>]*'|[^\\s<>\"'])*)*"
+)
+
+
+# HTMLParser's CDATA_CONTENT_ELEMENTS: inside these, NOTHING is parsed
+# until the matching end tag; _SKIP_TAGS minus these (noscript, template)
+# parse children normally and only suppress text via the skip depth.
+_CDATA_TAGS = {"script", "style"}
+_CDATA_END = {
+    t: (re.compile(rf"</\s*{t}", re.I), re.compile(rf"</\s*{t}\s*>", re.I))
+    for t in _CDATA_TAGS
+}
+
+
+def _extract_fast(html_doc: str) -> str | None:
+    """Tag-scanner twin of _TextExtractor for the well-formed common case.
+
+    Returns None whenever equivalence with the stdlib parser is not
+    PROVABLE from local structure; the caller then runs _TextExtractor.
+    Per-data-run unescape mirrors HTMLParser.goahead's
+    `handle_data(unescape(rawdata[i:j]))` exactly (convert_charrefs
+    processes each run between tags independently, so unescaping across
+    concatenated runs would differ — e.g. 'a&am' + '<span>' + 'p;b').
+    script/style bodies are skipped to the first `</\\s*elem` — exactly
+    HTMLParser's cdata `interesting` pattern — provided that match is a
+    clean end tag. Equivalence is pinned by the hypothesis cross-path
+    property test and the adversarial fixture list.
+    """
+    parts: list[str] = []
+    skip_depth = 0
+    pos = 0
+    n = len(html_doc)
+    while pos < n:
+        m = _FAST_TAG_RE.search(html_doc, pos)
+        data = html_doc[pos : m.start()] if m else html_doc[pos:]
+        if "<" in data:
+            return None
+        if data and skip_depth == 0:
+            parts.append(_html.unescape(data) if "&" in data else data)
+        if m is None:
+            break
+        name = m.group(2).lower()
+        if not _FAST_ATTRS_OK.fullmatch(m.group(3)):
+            return None
+        closing = m.group(1) == "/"
+        startend = not closing and m.group(0).endswith("/>")
+        if closing:
+            if name in _SKIP_TAGS and skip_depth > 0:
+                skip_depth -= 1
+            elif name in _BLOCK_TAGS:
+                parts.append("\n")
+        elif name in _CDATA_TAGS and not startend:
+            # cdata mode: nothing inside is a tag; ends at the FIRST
+            # `</\s*elem` (HTMLParser's `interesting` pattern). Only a
+            # clean `</elem\s*>` there is provably equivalent.
+            interesting, endtag = _CDATA_END[name]
+            e = interesting.search(html_doc, m.end())
+            if e is None:
+                return None  # EOF inside cdata: parser emits the tail as data
+            full = endtag.match(html_doc, e.start())
+            if full is None:
+                return None
+            if name in _BLOCK_TAGS:  # not today, but keep the twin exact
+                parts.append("\n\n")
+            pos = full.end()
+            continue
+        else:
+            if name in _SKIP_TAGS:
+                # <noscript>/<template> (or self-closed <script/>):
+                # startend closes immediately, otherwise open skip region
+                if not startend:
+                    skip_depth += 1
+            elif name in _BLOCK_TAGS:
+                parts.append("\n\n" if startend else "\n")
+        pos = m.end()
+    return "".join(parts)
+
+
 def extract_text(html_doc: str | bytes) -> str:
     """HTML -> plain text. THE byte-identical function.
 
     Pipeline: parse (entities unescaped), block tags -> newlines, collapse
     horizontal whitespace, strip each line, drop empty lines, join with \\n.
+    The fast scanner handles the well-formed common case (~3x less
+    allocation than HTMLParser's event machinery — the tagging worker's
+    8->32 scaling is allocation-bound); _TextExtractor remains the
+    semantic definition and takes every document the scanner cannot
+    prove equivalent.
     """
     if isinstance(html_doc, (bytes, bytearray)):
         html_doc = html_doc.decode("utf-8", errors="replace")
-    parser = _TextExtractor()
-    parser.feed(html_doc)
-    parser.close()
-    raw = "".join(parser.parts)
+    raw = _extract_fast(html_doc)
+    if raw is None:
+        parser = _TextExtractor()
+        parser.feed(html_doc)
+        parser.close()
+        raw = "".join(parser.parts)
     lines = []
     for line in raw.split("\n"):
         line = _WS_RE.sub(" ", line).strip()

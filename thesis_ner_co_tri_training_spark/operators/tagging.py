@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.simfn import cosine_from_counts, tag_counts_py
 from ..functions.textnorm import strip_punct, tokenize
 from ..sources import corpus
 from ..sources.corpus import CONTEXT_CUES, ORG_SUFFIX, _stable_conf
@@ -53,6 +54,8 @@ SENT_VIEWS_FLAT_SCHEMA = (
 _RESOURCES: list[dict] | None = None
 _ORG_SUFFIX_SET = set(ORG_SUFFIX)
 _FILLER_SET = set(corpus.FILLER) | {"müde", "für", "größe", "straße"}
+# prev-token -> pre-built "B-<tag>" (shared string, no per-hit f-string)
+_CUE_BTAG = {cue: "B-" + tag for cue, tag in CONTEXT_CUES.items()}
 
 
 def _resources() -> list[dict]:
@@ -79,19 +82,24 @@ def _o_conf(word: str) -> float:
 # are only unique while the object lives, so pinning the dict guarantees
 # no id reuse can alias a stale index. Bounded: the three view
 # gazetteers plus any ad-hoc test dicts.
-_INDEX_CACHE: dict[int, tuple[dict, dict[str, list[tuple[int, tuple[str, ...], str, float]]]]] = {}
+_INDEX_CACHE: dict[int, tuple[dict, dict[str, list[tuple[int, tuple[str, ...], str, str, float]]]]] = {}
 
 
-def _index_for(gaz: dict) -> dict[str, list[tuple[int, tuple[str, ...], str, float]]]:
+def _index_for(gaz: dict) -> dict[str, list[tuple[int, tuple[str, ...], str, str, float]]]:
     hit = _INDEX_CACHE.get(id(gaz))
     if hit is not None:
         return hit[1]
-    idx: dict[str, list[tuple[int, tuple[str, ...], str, float]]] = {}
+    idx: dict[str, list[tuple[int, tuple[str, ...], str, str, float]]] = {}
     for surf, (tag, conf) in gaz.items():
         parts = tuple(surf.split(" "))
         if len(parts) > 3:
             continue
-        idx.setdefault(parts[0], []).append((len(parts), parts, tag, conf))
+        # B-/I- strings PRE-BUILT once per worker: the scan then writes
+        # shared string objects instead of allocating an f"B-{tag}" per
+        # matched span (the worker's allocation rate is the 8->32 scaling
+        # bottleneck on a single memory system).
+        idx.setdefault(parts[0], []).append(
+            (len(parts), parts, "B-" + tag, "I-" + tag, conf))
     for cands in idx.values():
         cands.sort(key=lambda x: -x[0])
     _INDEX_CACHE[id(gaz)] = (gaz, idx)
@@ -118,7 +126,7 @@ def _gaz_match(tokens: list[str], gaz: dict, tags: list[str | None],
         hit = None
         cands = index.get(lows[i])
         if cands:
-            for span, parts, tag, conf in cands:
+            for span, parts, btag, itag, conf in cands:
                 if i + span > n:
                     continue
                 ok = True
@@ -127,13 +135,13 @@ def _gaz_match(tokens: list[str], gaz: dict, tags: list[str | None],
                         ok = False
                         break
                 if ok:
-                    hit = (span, tag, conf)
+                    hit = (span, btag, itag, conf)
                     break
         if hit:
-            span, tag, conf = hit
-            tags[i], confs[i] = f"B-{tag}", conf
+            span, btag, itag, conf = hit
+            tags[i], confs[i] = btag, conf
             for j in range(i + 1, i + span):
-                tags[j], confs[j] = f"I-{tag}", conf
+                tags[j], confs[j] = itag, conf
             i += span
         else:
             i += 1
@@ -175,9 +183,9 @@ def tag_tokens_flat(tokens: list[str], view_id: int,
                 continue
             prev = lows[i - 1]
             low = lows[i]
-            cue_tag = CONTEXT_CUES.get(prev)
-            if cue_tag and low not in _FILLER_SET and not low.isdigit():
-                tags[i], confs[i] = f"B-{cue_tag}", _stable_conf(f"v3|ctx|{prev}|{low}")
+            btag = _CUE_BTAG.get(prev)
+            if btag and low not in _FILLER_SET and not low.isdigit():
+                tags[i], confs[i] = btag, _stable_conf(f"v3|ctx|{prev}|{low}")
 
     for i, low in enumerate(lows):
         if tags[i] is None:
@@ -210,6 +218,17 @@ def tag_all_views_flat(text: str):
     tokens = tokenize(strip_punct(text))
     lows = [t.lower() for t in tokens]
     return tokens, [tag_tokens_flat(tokens, v, lows=lows) for v in (1, 2, 3)]
+
+
+def view_cosines(t1: list[str], t2: list[str], t3: list[str]) -> tuple[float, float, float]:
+    """(cos12, cos23, cos13) — ROTATIONS order — building each view's
+    bag-of-tags count dict ONCE instead of twice (cosine_similarity would
+    recount both sides per pair: 6 dict builds; this does 3). Same code
+    path as the oracle's cosine_similarity (tag_counts_py +
+    cosine_from_counts), so bit-identical by construction."""
+    c1, c2, c3 = tag_counts_py(t1), tag_counts_py(t2), tag_counts_py(t3)
+    return (cosine_from_counts(c1, c2), cosine_from_counts(c2, c3),
+            cosine_from_counts(c1, c3))
 
 
 def tag_sentences_df(sentences: DataFrame, passthrough: list[str] | None = None,
@@ -279,7 +298,7 @@ def tag_sentences_df(sentences: DataFrame, passthrough: list[str] | None = None,
 
 def _tag_sentences_flat(sentences: DataFrame, passthrough: list[str]) -> DataFrame:
     """Flat per-sentence tagging (rows are already sentences — no split)."""
-    from ..functions.simfn import avg_confident_score_flat, cosine_similarity
+    from ..functions.simfn import avg_confident_score_flat
 
     extra_schema = "".join(
         f", {f.name} {f.dataType.simpleString()}"
@@ -307,9 +326,11 @@ def _tag_sentences_flat(sentences: DataFrame, passthrough: list[str]) -> DataFra
                     out[f"t{v}_cfd"].append(
                         avg_confident_score_flat(tags, confs, ignore_o=True)
                     )
-                out["cos12"].append(cosine_similarity(views[0][0], views[1][0]))
-                out["cos23"].append(cosine_similarity(views[1][0], views[2][0]))
-                out["cos13"].append(cosine_similarity(views[0][0], views[2][0]))
+                cos12, cos23, cos13 = view_cosines(
+                    views[0][0], views[1][0], views[2][0])
+                out["cos12"].append(cos12)
+                out["cos23"].append(cos23)
+                out["cos13"].append(cos13)
             yield pd.DataFrame(out)
 
     return sentences.select("url", "sent_id", "text", *passthrough).mapInPandas(
@@ -331,7 +352,7 @@ def tag_pages_df(pages: DataFrame, passthrough: list[str] | None = None) -> Data
     cluster scale the fusion also removes two full serialize/deserialize
     round-trips of the sentence corpus per task.
     """
-    from ..functions.simfn import avg_confident_score_flat, cosine_similarity
+    from ..functions.simfn import avg_confident_score_flat
     from ..functions.textnorm import extract_text, split_sentences
 
     passthrough = passthrough or []
@@ -367,9 +388,11 @@ def tag_pages_df(pages: DataFrame, passthrough: list[str] | None = None) -> Data
                         out[f"t{v}_cfd"].append(
                             avg_confident_score_flat(tags, confs, ignore_o=True)
                         )
-                    out["cos12"].append(cosine_similarity(views[0][0], views[1][0]))
-                    out["cos23"].append(cosine_similarity(views[1][0], views[2][0]))
-                    out["cos13"].append(cosine_similarity(views[0][0], views[2][0]))
+                    cos12, cos23, cos13 = view_cosines(
+                        views[0][0], views[1][0], views[2][0])
+                    out["cos12"].append(cos12)
+                    out["cos23"].append(cos23)
+                    out["cos13"].append(cos13)
                     for col in passthrough:
                         out[col].append(pdf[col].iloc[row_i])
             yield pd.DataFrame(out)
@@ -399,7 +422,7 @@ def tag_and_vote_pages_df(
     materializes sent_views as a checkpoint so sweeps can re-vote with
     different thresholds without re-tagging.
     """
-    from ..functions.simfn import avg_confident_score_flat, cosine_similarity
+    from ..functions.simfn import avg_confident_score_flat
     from ..functions.textnorm import extract_text, split_sentences
     from .mentions import vote_sentence_flat
 
@@ -437,11 +460,7 @@ def tag_and_vote_pages_df(
                         avg_confident_score_flat(t, c, ignore_o=True)
                         for t, c in views
                     ]
-                    cosines = [
-                        cosine_similarity(tags_v[0], tags_v[1]),
-                        cosine_similarity(tags_v[1], tags_v[2]),
-                        cosine_similarity(tags_v[0], tags_v[2]),
-                    ]
+                    cosines = view_cosines(tags_v[0], tags_v[1], tags_v[2])
                     picked = vote_sentence_flat(
                         tags_v, confs_v, cfds, cosines,
                         cos_threshold, tcfd_threshold, scfd_threshold,
