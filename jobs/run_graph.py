@@ -51,7 +51,11 @@ def main() -> int:
     catalog.write_table(deg, args.warehouse, "graph_degrees",
                         stage_params={"source": "edges"})
 
-    pr = pagerank(e, iterations=args.pagerank_iters)
+    # localCheckpoint: pagerank only cuts lineage every checkpoint_every
+    # rounds, so without a cut here the top-3 summary collect below would
+    # re-execute the un-checkpointed tail of the iterative DAG after
+    # write_table already computed it (same pattern as deg above).
+    pr = pagerank(e, iterations=args.pagerank_iters).localCheckpoint(eager=True)
     catalog.write_table(pr, args.warehouse, "graph_pagerank",
                         stage_params={"iterations": args.pagerank_iters})
 

@@ -72,12 +72,17 @@ def asof_join(left: DataFrame, right: DataFrame, key: str = "user_id",
 
     Equal timestamps: right rows sort BEFORE left rows (ts <= ts
     matches, inclusive), and among equal-ts right rows the one with the
-    greatest `tiebreak` (default: first payload column) wins —
-    deterministic for any input. Right payload columns are prefixed.
+    greatest `tiebreak` wins. The default tiebreak is the first payload
+    column that is NOT the ts column (ts itself is equal among the rows
+    being tie-broken, so it would leave the winner nondeterministic);
+    callers whose right side can carry duplicate (key, ts, tiebreak)
+    triples must pass a tiebreak unique per (key, ts) for a fully
+    deterministic result. Right payload columns are prefixed.
     """
     pay_cols = [c for c in right.columns if c != key]
     if tiebreak is None:
-        tiebreak = pay_cols[0]
+        non_ts = [c for c in pay_cols if c != ts]
+        tiebreak = non_ts[0] if non_ts else pay_cols[0]
     # SQL ASOF semantics: left.ts >= NULL is never true, so a right row
     # with a null timestamp matches nothing (without this filter it
     # would sort first under asc_nulls_first and act as an

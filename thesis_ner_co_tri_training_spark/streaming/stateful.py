@@ -38,20 +38,25 @@ def _update(
         n_mentions, n_batches, first_ms, last_ms = state.get
     else:
         n_mentions, n_batches, first_ms, last_ms = 0, 0, None, None
+    seen_rows = False
     for pdf in pdfs:
         if len(pdf) == 0:
             # an empty chunk must not poison the timestamps: min()/max()
             # of an empty series is NaT, whose .value is INT64_MIN
             continue
+        seen_rows = True
         n_mentions += len(pdf)
         ts = pd.to_datetime(pdf["warc_ts"])
         lo = int(ts.min().value // 1_000_000)
         hi = int(ts.max().value // 1_000_000)
         first_ms = lo if first_ms is None else min(first_ms, lo)
         last_ms = hi if last_ms is None else max(last_ms, hi)
-    if first_ms is None:
-        # no data ever seen for this key (all-empty invocation on a
-        # fresh group): nothing meaningful to emit or store
+    if not seen_rows:
+        # Zero-row invocation: nothing to emit or count, REGARDLESS of
+        # whether state exists. Unreachable under NoTimeout for existing
+        # groups today, but if a timeout is ever configured a timed-out
+        # group is invoked with no rows and must not bump n_batches or
+        # re-emit an unchanged row.
         return
     n_batches += 1
     state.update((n_mentions, n_batches, first_ms, last_ms))
