@@ -182,6 +182,21 @@ def test_train_dev_test_split_exact(spark):
     assert train.count() + dev.count() + test.count() == 97
 
 
+def test_train_dev_test_split_exact_caps_driver_size(spark):
+    """The exact split builds a driver-side permutation; above the cap it
+    must refuse loudly (pointing at the distributed split), without
+    running any Spark job — and the golden-permutation behavior below the
+    cap is untouched (test above)."""
+    import pytest as _pytest
+
+    from thesis_ner_co_tri_training_spark.operators.selection import (
+        EXACT_SPLIT_MAX_ROWS, train_dev_test_split_exact)
+
+    df = spark.createDataFrame([(0, "s")], "pos bigint, text string")
+    with _pytest.raises(ValueError, match="train_dev_test_split"):
+        train_dev_test_split_exact(df, "pos", n_rows=EXACT_SPLIT_MAX_ROWS + 1)
+
+
 def test_mix_corpus_deterministic_upsampling(spark):
     from thesis_ner_co_tri_training_spark.operators.selection import mix_corpus
 

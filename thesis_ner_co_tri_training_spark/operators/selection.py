@@ -264,6 +264,9 @@ def reference_split_indices(n: int, seed: int = 1
     return train, dev, test
 
 
+EXACT_SPLIT_MAX_ROWS = 1_000_000
+
+
 def train_dev_test_split_exact(df: DataFrame, pos_col: str,
                                n_rows: int | None = None,
                                seed: int = 1) -> list[DataFrame]:
@@ -279,10 +282,23 @@ def train_dev_test_split_exact(df: DataFrame, pos_col: str,
 
     Each returned DataFrame carries `split_pos`: the row's index within
     the reference's returned (permuted) list.
+
+    Guarded: raises above EXACT_SPLIT_MAX_ROWS (1M) — the driver-side
+    permutation list is O(n_rows), so the 100x misuse is impossible
+    rather than just documented; corpus-scale callers belong on
+    train_dev_test_split.
     """
     spark = df.sparkSession
     if n_rows is None:
         n_rows = df.count()
+    if n_rows > EXACT_SPLIT_MAX_ROWS:
+        raise ValueError(
+            f"train_dev_test_split_exact builds a driver-side permutation of "
+            f"all rows; n_rows={n_rows} exceeds the {EXACT_SPLIT_MAX_ROWS} "
+            f"cap. Use train_dev_test_split (randomSplit, distributed) for "
+            f"corpus-scale splits — exact sklearn row identity only matters "
+            f"for the thesis-scale labeled corpus."
+        )
     parts = reference_split_indices(n_rows, seed)
     out = []
     for idx in parts:
