@@ -30,7 +30,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--out", required=True)
-    ap.add_argument("--what", choices=["mentions", "triples"], default="mentions")
+    ap.add_argument("--what", choices=["mentions", "triples", "sessions"],
+                    default="mentions")
     ap.add_argument("--pages", type=int, default=0,
                     help="seed the input dir with N synthetic pages first")
     ap.add_argument("--max-files", type=int, default=8)
@@ -39,7 +40,7 @@ def main() -> int:
 
     from thesis_ner_co_tri_training_spark.session import get_spark
     from thesis_ner_co_tri_training_spark.streaming.ingest import (
-        mentions_stream, read_pages_stream, triples_stream)
+        mentions_stream, read_pages_stream, sessions_stream, triples_stream)
 
     spark = get_spark("kg_stream", cpus=args.cpus)
 
@@ -52,7 +53,14 @@ def main() -> int:
 
     pages = read_pages_stream(spark, args.input,
                               max_files_per_trigger=args.max_files)
-    stream = (mentions_stream if args.what == "mentions" else triples_stream)(pages)
+    # sessions: stateful session_window with watermark — append mode
+    # emits each watermark-closed session exactly once; still-open
+    # sessions ride the state store into the next run.
+    stream = {
+        "mentions": mentions_stream,
+        "triples": triples_stream,
+        "sessions": sessions_stream,
+    }[args.what](pages)
 
     t0 = time.time()
     q = (

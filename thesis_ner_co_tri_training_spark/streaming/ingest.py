@@ -124,6 +124,33 @@ def start_mentions_sink(
     return writer.start()
 
 
+def sessions_stream(
+    pages: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-domain crawl sessions via native session_window, streaming.
+
+    events.user_sessions runs UNCHANGED on the stream (domain = the
+    crawl key, warc_ts = event time); the watermark bounds session state
+    and lets append mode emit each session exactly once, when the
+    watermark passes its close. Batch parity on the watermark-closed
+    subset is pinned by test_events.test_user_sessions_streaming_append;
+    this is the spark-submit surface (jobs/run_stream.py --what
+    sessions). Sessions still open at the end of an availableNow drain
+    stay in the state store and emit on a later run once newer files
+    advance the watermark past them.
+    """
+    from ..operators.events import user_sessions
+
+    with_domain = pages.select(
+        F.regexp_extract("url", r"https?://([^/]+)/", 1).alias("domain"),
+        "warc_ts",
+    ).withWatermark("warc_ts", watermark)
+    return user_sessions(with_domain, gap=gap, user_col="domain",
+                         ts_col="warc_ts")
+
+
 def dedup_pages_stream(pages: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Cross-micro-batch recrawl dedup on url.
 
