@@ -185,6 +185,39 @@ def test_embedding_near_dups_bucketed_matches_brute(spark):
     assert any(b == a + 1 for a, b in brute)  # planted pairs were found
 
 
+def test_embedding_near_dups_multiprobe_recall(spark):
+    """At fixed bands/bits, recall must rise with probes (toward brute
+    force) while staying a strict subset of brute force (exact verify =
+    zero false positives). The fixture uses 1 band x 10 bits and planted
+    pairs at cosine ~0.9-0.97 so single-band recall is well below 1."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    vecs = []
+    for i in range(120):
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        vecs.append((2 * i, base))
+        # moderate perturbation: near-dup at cosine ~0.9-0.97
+        vecs.append((2 * i + 1, [x + rng.uniform(-0.25, 0.25) for x in base]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    kw = dict(threshold=0.9, bits=10, bands=1)
+    brute = {(r["a"], r["b"]): r["cosine"]
+             for r in embedding_near_dups(df, threshold=0.9,
+                                          bucketed=False).collect()}
+    recalls = []
+    for probes in (0, 2, 5):
+        got = {(r["a"], r["b"]): r["cosine"]
+               for r in embedding_near_dups(df, probes=probes, **kw).collect()}
+        assert set(got) <= set(brute), probes       # never a false positive
+        assert all(got[p] == brute[p] for p in got)  # exact cosines
+        recalls.append(len(got) / len(brute))
+    assert recalls[0] < 1.0          # the fixture leaves room to improve
+    assert recalls == sorted(recalls)  # monotone non-decreasing
+    assert recalls[-1] > recalls[0]    # probing measurably helps
+    assert not math.isclose(recalls[-1], recalls[0])
+
+
 def test_embedding_near_dups_empty_input(spark):
     """The bucketed default's dim metadata probe must tolerate an empty
     input (first() is None) and return zero pairs, like brute force."""

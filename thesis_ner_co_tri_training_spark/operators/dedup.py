@@ -302,7 +302,7 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
                         bucketed: bool = True,
                         dim: int | None = None,
                         bits: int = 6, bands: int = 4,
-                        seed: int = 42) -> DataFrame:
+                        seed: int = 42, probes: int = 0) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a, b, cosine).
 
     bucketed=True (the default — the only shape that survives 100 TB):
@@ -313,6 +313,15 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
     standard 1-(1-p^bits)^bands with p = 1 - theta/pi (for cos >= 0.95,
     bits=6 x bands=4 gives ~0.95+). The shuffle is keyed by
     (band, bucket) — uniform by construction.
+
+    probes > 0 turns on multi-probe within each band (simsearch's
+    mechanism, shared): ONE join side additionally lands in the `probes`
+    buckets reached by flipping its lowest-|margin| signature bits, so a
+    pair split by a single near-zero-margin plane still collides
+    (one-sided probing covers both directions because either member can
+    be the probing side). Recall rises toward brute force at
+    ~(1+probes)x candidate volume at fixed bands/bits — measured in
+    test_dedup.test_embedding_near_dups_multiprobe_recall.
 
     bucketed=False: O(n^2) all-pairs cross join — the oracle/contract
     path (q17 compares it against a DuckDB cross join at sf0.01); never
@@ -336,28 +345,42 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
     if not bucketed:
         joined = l.join(r, F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
     else:
-        from .simsearch import hyperplane_signature
+        from .simsearch import hyperplane_signature, probe_buckets
 
         if dim is None:
             # metadata probe: one element, one row; on an EMPTY input any
             # dim works (every stage below is empty-safe), so don't crash
             row = emb.select(F.size(vec_col)).first()
             dim = int(row[0]) if row is not None else 1
-        banded = None
+        probe_side = exact_side = None
         for band in range(bands):
             s = hyperplane_signature(
-                emb.select(id_col, vec_col), dim, bits, vec_col, seed + band
-            ).select(id_col, F.lit(band).alias("band"), "bucket")
-            banded = s if banded is None else banded.unionByName(s)
+                emb.select(id_col, vec_col), dim, bits, vec_col,
+                seed + band, with_margins=probes > 0,
+            )
+            e_side = s.select(id_col, F.lit(band).alias("band"), "bucket")
+            if probes > 0:
+                p_side = probe_buckets(s, probes, bits).select(
+                    id_col, F.lit(band).alias("band"), "bucket")
+            else:
+                p_side = e_side
+            probe_side = (p_side if probe_side is None
+                          else probe_side.unionByName(p_side))
+            exact_side = (e_side if exact_side is None
+                          else exact_side.unionByName(e_side))
         cand = (
-            banded.alias("cl").join(
-                banded.alias("cr"),
+            probe_side.alias("cl").join(
+                exact_side.alias("cr"),
                 (F.col("cl.band") == F.col("cr.band"))
                 & (F.col("cl.bucket") == F.col("cr.bucket"))
-                & (F.col(f"cl.{id_col}") < F.col(f"cr.{id_col}")),
+                & (F.col(f"cl.{id_col}") != F.col(f"cr.{id_col}")),
             )
-            .select(F.col(f"cl.{id_col}").alias("__a"),
-                    F.col(f"cr.{id_col}").alias("__b"))
+            .select(
+                F.least(F.col(f"cl.{id_col}"),
+                        F.col(f"cr.{id_col}")).alias("__a"),
+                F.greatest(F.col(f"cl.{id_col}"),
+                           F.col(f"cr.{id_col}")).alias("__b"),
+            )
             .distinct()
         )
         joined = (
@@ -432,6 +455,7 @@ def near_dup_clusters(
     bands: int = 8,
     max_bucket: int = 64,
     jaccard_threshold: float = 0.8,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """The actionable form of near-dup detection: every doc labeled with
     its duplicate-cluster id and a keep/drop decision.
@@ -449,7 +473,7 @@ def near_dup_clusters(
     from .linking import connected_components
 
     pairs = minhash_lsh_pairs(df, id_col, text_col, n, num_hashes, bands,
-                              max_bucket)
+                              max_bucket, hasher=hasher)
     verified = ngram_jaccard_pairs(df, pairs, id_col, text_col, n,
                                    jaccard_threshold)
     pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")
