@@ -993,6 +993,34 @@ def q45_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q46_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship 100-TB dedup composition, end-to-end oracle-checked:
+    minhash-LSH candidates (md5 family, 16x4 banding) -> exact 3-gram
+    Jaccard verify -> alternating large/small-star connected components
+    -> keeper = cluster-minimum doc id. Output: every doc with its
+    cluster_id and keep decision (operators/dedup.near_dup_clusters;
+    xxhash64 stays the engine default with the local value oracle in
+    test_dedup.test_near_dup_clusters_value_oracle)."""
+    from thesis_ner_co_tri_training_spark.operators.dedup import near_dup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    return near_dup_clusters(docs, num_hashes=16, bands=4, hasher="md5")
+
+
+def q47_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-point PageRank (plans/graph.pagerank_fixedpoint)
+    over the q22 triple graph's simple directed edges: 10 integer power
+    iterations with dangling-mass redistribution, ranks as BIGINTs in
+    1e-12 units — order-independent integer sums, so the full iterative
+    join/agg pipeline is DuckDB-oracled; the float `pagerank` engine
+    default is pinned close to this twin by test_graph."""
+    from thesis_ner_co_tri_training_spark.plans.graph import pagerank_fixedpoint
+
+    edges = q22_triples(spark, sf_dir).select("subj", "obj")
+    return pagerank_fixedpoint(edges, iterations=10, src="subj",
+                               dst="obj").orderBy("node")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1040,6 +1068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_funnel": q43_funnel,
         "q44_rollup": q44_rollup,
         "q45_salted_agg": q45_salted_agg,
+        "q46_near_dup_clusters": q46_near_dup_clusters,
+        "q47_pagerank": q47_pagerank,
     }
 
 
@@ -1059,7 +1089,10 @@ _Q22_SQL = f"""
 """
 
 
-def _q36_sql(num_hashes: int = 16, bands: int = 4, max_bucket: int = 64) -> str:
+def _minhash_ctes(num_hashes: int, bands: int, max_bucket: int) -> str:
+    """The shared CTE chain of the md5 minhash-LSH oracles: shingles ->
+    signatures -> banded buckets -> skew-guarded kept rows. Reused by
+    _q36_sql (pairs) and _q46_sql (pairs -> verify -> CC -> keeper)."""
     rpb = num_hashes // bands
     h = lambda expr: f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
     mins = ",\n".join(
@@ -1073,8 +1106,7 @@ def _q36_sql(num_hashes: int = 16, bands: int = 4, max_bucket: int = 64) -> str:
         + " AS bucket FROM sig"
         for b in range(bands)
     )
-    return f"""
-        WITH toks AS (
+    return f"""toks AS (
             SELECT doc_id,
                    string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
             FROM documents
@@ -1090,12 +1122,92 @@ def _q36_sql(num_hashes: int = 16, bands: int = 4, max_bucket: int = 64) -> str:
         kept AS (
             SELECT b.* FROM banded b JOIN sizes z
             ON z.band = b.band AND z.bucket = b.bucket AND z.c <= {max_bucket}
-        )
-        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-        FROM kept l JOIN kept r
-        ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
-        ORDER BY a, b
+        ),
+        pairs AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM kept l JOIN kept r
+            ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+        )"""
+
+
+def _q36_sql(num_hashes: int = 16, bands: int = 4, max_bucket: int = 64) -> str:
+    return (f"WITH {_minhash_ctes(num_hashes, bands, max_bucket)}\n"
+            "SELECT a, b FROM pairs ORDER BY a, b")
+
+
+def _q46_sql(num_hashes: int = 16, bands: int = 4, max_bucket: int = 64,
+             threshold: float = 0.8) -> str:
+    """near_dup_clusters oracle: md5 LSH pairs -> exact 3-gram Jaccard
+    verify (round-4, HALF_UP on both engines — same as q12) -> recursive-
+    CTE connected components (q30 pattern, numeric min-reachable) ->
+    keeper = cluster minimum; singletons keep themselves."""
+    return f"""
+        WITH RECURSIVE {_minhash_ctes(num_hashes, bands, max_bucket)},
+        shd AS (SELECT DISTINCT doc_id, s FROM sh),
+        counts AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+        inter AS (
+            SELECT p.a, p.b, count(*) AS i
+            FROM pairs p
+            JOIN shd x ON x.doc_id = p.a
+            JOIN shd y ON y.doc_id = p.b AND y.s = x.s
+            GROUP BY p.a, p.b
+        ),
+        verified AS (
+            SELECT i.a, i.b
+            FROM inter i
+            JOIN counts ca ON ca.doc_id = i.a
+            JOIN counts cb ON cb.doc_id = i.b
+            WHERE round(CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i), 4)
+                  >= {threshold}
+        ),
+        sym AS (SELECT a, b FROM verified UNION SELECT b, a FROM verified),
+        reach(n, m) AS (
+            SELECT DISTINCT a, a FROM sym
+            UNION
+            SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m
+        ),
+        comp AS (SELECT n, min(m) AS comp FROM reach GROUP BY n)
+        SELECT d.doc_id,
+               CAST(coalesce(c.comp, d.doc_id) AS BIGINT) AS cluster_id,
+               coalesce(c.comp, d.doc_id) = d.doc_id AS keep
+        FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
     """
+
+
+def _q47_sql(iters: int = 10, scale: int = 10**12) -> str:
+    """pagerank_fixedpoint oracle: the q22 triple graph's simple directed
+    edges, 10 unrolled integer power iterations (plans/graph.py docstring
+    has the exact recurrence; every operand is a BIGINT so sums are
+    order-independent and engine-portable). Every CTE is MATERIALIZED:
+    DuckDB inlines plain CTEs at each reference, and r{{k}} references
+    r{{k-1}} twice (dangling mass + contributions), so without
+    materialization the plan expands 2^iters copies of the base scan —
+    thousands of parquet opens ("Too many open files")."""
+    base = (15 * scale) // 100
+    m = "AS MATERIALIZED"
+    ctes = [f"t {m} ({_Q22_SQL})",
+            f"e {m} (SELECT DISTINCT subj AS src, obj AS dst FROM t)",
+            f"nodes {m} (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+            f"nn {m} (SELECT count(*) AS n FROM nodes)",
+            f"od {m} (SELECT src, count(*) AS deg FROM e GROUP BY src)",
+            f"r0 {m} (SELECT node, {scale} // nn.n AS rank FROM nodes, nn)"]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(
+            f"d{k} {m} (SELECT coalesce(sum(r.rank), 0) AS dm FROM r{p} r "
+            f"LEFT JOIN od ON od.src = r.node WHERE od.src IS NULL)")
+        ctes.append(
+            f"c{k} {m} (SELECT e.dst AS node, sum(r.rank // od.deg) AS s "
+            f"FROM e JOIN r{p} r ON r.node = e.src "
+            f"JOIN od ON od.src = e.src GROUP BY e.dst)")
+        ctes.append(
+            f"r{k} {m} (SELECT n.node, {base} // nn.n + "
+            f"(85 * (coalesce(c.s, 0) + d.dm // nn.n)) // 100 AS rank "
+            f"FROM nodes n LEFT JOIN c{k} c ON c.node = n.node "
+            f"CROSS JOIN d{k} d CROSS JOIN nn)")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r{iters} "
+              "ORDER BY node")
 
 
 def _q37_sql(bits: int = 60) -> str:
@@ -1825,7 +1937,6 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT n AS node, min(m) AS comp FROM reach GROUP BY n ORDER BY node
         """,
-        # q19/q20 intentionally omitted: xxhash64-based (rows-only check —
-        # tests/test_hash_oracles.py carries their VALUE-level oracle via a
-        # pure-Python XXH64).
+        "q46_near_dup_clusters": _q46_sql(),
+        "q47_pagerank": _q47_sql(),
     }

@@ -54,6 +54,39 @@ def test_pagerank_matches_power_iteration(spark, edges_df):
     assert max(got, key=got.get) == "c"
 
 
+def oracle_pagerank_fixedpoint(edges, iters=10, scale=10**12):
+    """Integer twin of oracle_pagerank — the exact recurrence of
+    plans/graph.pagerank_fixedpoint (floor division everywhere)."""
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    out = {}
+    for s, _ in set(edges):
+        out[s] = out.get(s, 0) + 1
+    base = (15 * scale // 100) // n
+    rank = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        in_sum = {v: 0 for v in nodes}
+        for s, t in set(edges):
+            in_sum[t] += rank[s] // out[s]
+        dangling = sum(rank[v] for v in nodes if v not in out)
+        dshare = dangling // n
+        rank = {v: base + (85 * (in_sum[v] + dshare)) // 100 for v in nodes}
+    return rank
+
+
+def test_pagerank_fixedpoint_oracle_and_close_to_float(spark, edges_df):
+    from thesis_ner_co_tri_training_spark.plans.graph import pagerank_fixedpoint
+
+    got = {r["node"]: r["rank"]
+           for r in pagerank_fixedpoint(edges_df, iterations=10).collect()}
+    assert got == oracle_pagerank_fixedpoint(EDGES, iters=10)
+    # the integer twin vouches for the float default: ranks agree to well
+    # under the per-iteration floor-division loss (~iters * n / scale)
+    flt = oracle_pagerank(EDGES, iters=10)
+    for v, r in got.items():
+        assert abs(r / 10**12 - flt[v]) < 1e-9, v
+
+
 def oracle_k_hop(edges, sources, k):
     """BFS oracle: {node: (min_hops, distinct shortest-hop predecessors)}."""
     out = {}

@@ -96,6 +96,72 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
     return ranks
 
 
+def pagerank_fixedpoint(edges: DataFrame, iterations: int = 10,
+                        src: str = "subj_id", dst: str = "obj_id",
+                        scale: int = 10**12,
+                        checkpoint_every: int = 5) -> DataFrame:
+    """Deterministic integer-scaled PageRank twin of `pagerank` above.
+
+    Ranks are BIGINTs in units of 1/scale; d = 0.85 is the exact rational
+    85/100 and every per-edge contribution is an integer division
+    (rank DIV out_deg), so all sums are order-independent integer sums —
+    byte-reproducible in ANY engine (the DuckDB-oracled contract variant,
+    q47; float `pagerank` stays the engine default, and the unit test
+    pins |fixedpoint/scale - float| small on the same graph so this twin
+    vouches for it). Same join/shuffle shape per iteration: one keyed
+    contribution join + aggregate, one dangling-mass aggregate (a single
+    scalar to the driver), one rank rebuild. Duplicate (src, dst) edges
+    are collapsed — the contract is over the simple directed graph.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct().localCheckpoint(eager=True)
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
+
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    base = (15 * scale // 100) // n
+    ranks = nodes.withColumn("rank", F.lit(scale // n).cast("long"))
+    for i in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(out_deg, "src")
+            .select("dst", F.expr("rank DIV deg").alias("c"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        dangling = (
+            ranks.join(out_deg.withColumnRenamed("src", "node"),
+                       "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)))
+            .collect()[0][0]
+        )
+        dshare = int(dangling) // n
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .withColumn(
+                "in_total",
+                F.coalesce(F.col("in_sum"), F.lit(0)).cast("long")
+                + F.lit(dshare),
+            )
+            .select(
+                "node",
+                (F.lit(base) + F.expr("(85 * in_total) DIV 100"))
+                .cast("long").alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
 def k_hop(edges: DataFrame, sources: DataFrame, k: int = 2,
           src: str = "subj_id", dst: str = "obj_id") -> DataFrame:
     """Nodes reachable in <= k directed hops: (node, hops, n_paths).
