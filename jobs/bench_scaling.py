@@ -114,11 +114,13 @@ def run_level(cores: int, pages_dir: str, n_pages: int) -> None:
 
 
 def _ceiling_worker(files: list[str]) -> tuple[int, int]:
-    """One control proc: parquet files -> (pages, voted sentences)."""
+    """One control proc: parquet files -> (pages, voted sentences).
+
+    Must stay the IDENTICAL per-sentence workload as the fused Spark
+    worker (tag_and_vote_pages_df's inner loop) — same fused stats path,
+    so the control measures the host, not a different algorithm."""
     import pyarrow.parquet as pq
 
-    from thesis_ner_co_tri_training_spark.functions.simfn import (
-        avg_confident_score_flat)
     from thesis_ner_co_tri_training_spark.functions.textnorm import (
         extract_text, split_sentences)
     from thesis_ner_co_tri_training_spark.operators import tagging
@@ -133,12 +135,12 @@ def _ceiling_worker(files: list[str]) -> tuple[int, int]:
             n_pages += 1
             text = extract_text(payload)
             for sent in split_sentences(text):
-                toks, views = tagging.tag_all_views_flat(sent)
+                toks, views = tagging.tag_all_views_stats(sent)
                 tags_v = [v[0] for v in views]
                 confs_v = [v[1] for v in views]
-                cfds = [avg_confident_score_flat(t, c, ignore_o=True)
-                        for t, c in views]
-                cosines = tagging.view_cosines(tags_v[0], tags_v[1], tags_v[2])
+                cfds = [v[3] for v in views]
+                cosines = tagging.cosines_from_counts(
+                    views[0][2], views[1][2], views[2][2])
                 if vote_sentence_flat(tags_v, confs_v, cfds, cosines,
                                       0.7, 0.7, 0.6):
                     n_kept += 1
@@ -287,7 +289,16 @@ def main() -> int:
 
     lo = results[0]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+    # Preserve the hand-maintained cross-epoch history section (everything
+    # from its header on) across rewrites of the headline block.
+    history = ""
+    baseline_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    if os.path.exists(baseline_path):
+        old = open(baseline_path).read()
+        marker = "## Cross-epoch history"
+        if marker in old:
+            history = "\n" + old[old.index(marker):]
+    with open(baseline_path, "w") as fh:
         fh.write(
             "# Scaling-efficiency evidence (north rule proxy)\n\n"
             "Same KG-construction job (pages parquet scan -> extract_text ->\n"
@@ -334,6 +345,7 @@ def main() -> int:
             "efficiency. An efficiency slightly above 1.0 is a\n"
             "min-estimator artifact of epoch noise — read it as ~1.0.\n\n"
             "```json\n" + json.dumps(summary, indent=2) + "\n```\n"
+            + history
         )
     return 0
 

@@ -74,3 +74,33 @@ def test_vote_sentence_flat_edge_cases():
     out = vote_sentence_flat(t2, c, [0.7, 0.9, 0.0], [1.0, 0.0, 0.0],
                              0.6, 0.6, 0.6)
     assert out == (["B-PER"], [0.8], "rot_12_3", 1.0)
+
+
+def test_tagging_stats_parity(spark):
+    """tag_tokens_stats fuses the bag-of-tags counts and the avg-confident
+    score into the tagger's own final walk; its four outputs must be
+    bit-identical to the staged composition (tag_tokens_flat +
+    tag_counts_py + avg_confident_score_flat) over a real page corpus,
+    including the empty-sentence / all-O edge cases."""
+    from thesis_ner_co_tri_training_spark.functions.simfn import (
+        avg_confident_score_flat, tag_counts_py)
+    from thesis_ner_co_tri_training_spark.functions.textnorm import (
+        extract_text, split_sentences, strip_punct, tokenize)
+    from thesis_ner_co_tri_training_spark.operators.tagging import (
+        tag_tokens_flat, tag_tokens_stats)
+
+    pages = gen_pages_df(spark, 40, partitions=2).select("html").collect()
+    sents = [s for r in pages for s in split_sentences(extract_text(r["html"]))]
+    sents += ["", "und oder aber", "2021 siemens gmbh 42"]  # edge shapes
+    assert len(sents) > 100
+    for sent in sents:
+        tokens = tokenize(strip_punct(sent))
+        lows = [t.lower() for t in tokens]
+        for view in (1, 2, 3):
+            tags, confs = tag_tokens_flat(tokens, view, lows=list(lows))
+            s_tags, s_confs, counts, cfd = tag_tokens_stats(
+                tokens, view, list(lows))
+            assert s_tags == tags
+            assert s_confs == confs
+            assert counts == tag_counts_py(tags)
+            assert cfd == avg_confident_score_flat(tags, confs, ignore_o=True)

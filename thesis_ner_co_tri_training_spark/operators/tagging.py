@@ -57,6 +57,13 @@ _FILLER_SET = set(corpus.FILLER) | {"müde", "für", "größe", "straße"}
 # prev-token -> pre-built "B-<tag>" (shared string, no per-hit f-string)
 _CUE_BTAG = {cue: "B-" + tag for cue, tag in CONTEXT_CUES.items()}
 
+# Shared lowercase cache: webtext vocabulary is Zipfian, so most tokens
+# hit; a hit returns ONE shared string object instead of allocating a
+# fresh lowercase copy per occurrence (allocation rate is the 8->32
+# scaling bottleneck on a single memory system). Bounded for unbounded
+# real-corpus vocabularies.
+_lower = lru_cache(maxsize=1 << 17)(str.lower)
+
 
 def _resources() -> list[dict]:
     global _RESOURCES
@@ -147,6 +154,61 @@ def _gaz_match(tokens: list[str], gaz: dict, tags: list[str | None],
             i += 1
 
 
+@lru_cache(maxsize=1 << 17)
+def _v2_rule(low: str) -> tuple[str, float] | None:
+    """View-2 pattern rule for one lowercased token — pure function of
+    the token, so cached: a hit replaces isdigit/int parsing plus an
+    md5-based _stable_conf per OCCURRENCE with one dict probe, and the
+    returned (tag, conf) pair is shared objects (no per-hit f-string or
+    float). Semantics identical to the original inline chain."""
+    if low.isdigit():
+        if len(low) == 4 and 1900 <= int(low) <= 2099:
+            return "B-DATE", _stable_conf(f"v2|date|{low}")
+        return "B-CARDINAL", _stable_conf(f"v2|card|{low}")
+    if low in _ORG_SUFFIX_SET:
+        return "B-ORG", _stable_conf(f"v2|org|{low}")
+    return None
+
+
+@lru_cache(maxsize=1 << 17)
+def _v3_conf(prev: str, low: str) -> float | None:
+    """View-3 context-cue confidence for a (prev, token) bigram whose
+    prev IS a cue (caller checks _CUE_BTAG first — cue hits are sparse,
+    so the cache stays small). None when the filler/digit guard rejects."""
+    if low not in _FILLER_SET and not low.isdigit():
+        return _stable_conf(f"v3|ctx|{prev}|{low}")
+    return None
+
+
+def _tag_core(tokens: list[str], view_id: int,
+              lows: list[str]) -> tuple[list[str | None], list[float]]:
+    """Gazetteer scan + per-view rules; O positions left as None (the
+    caller's final pass fills them — and, in the stats variant, fuses
+    the count/cfd accumulation into that same walk)."""
+    n = len(tokens)
+    tags: list[str | None] = [None] * n
+    confs: list[float] = [0.0] * n
+    gaz = _resources()[view_id - 1]
+    _gaz_match(tokens, gaz, tags, confs, lows=lows)
+
+    if view_id == 2:
+        for i, low in enumerate(lows):
+            if tags[i] is None:
+                hit = _v2_rule(low)
+                if hit is not None:
+                    tags[i], confs[i] = hit
+    elif view_id == 3:
+        for i in range(1, n):
+            if tags[i] is not None:
+                continue
+            btag = _CUE_BTAG.get(lows[i - 1])
+            if btag is not None:
+                conf = _v3_conf(lows[i - 1], lows[i])
+                if conf is not None:
+                    tags[i], confs[i] = btag, conf
+    return tags, confs
+
+
 def tag_tokens_flat(tokens: list[str], view_id: int,
                     lows: list[str] | None = None) -> tuple[list[str], list[float]]:
     """Flat core tagger: pre-tokenized sentence -> (tags, confs) arrays.
@@ -159,38 +221,47 @@ def tag_tokens_flat(tokens: list[str], view_id: int,
     `lows` (precomputed lowercase tokens) lets the tri-view caller lower
     each token once instead of once per view per rule pass.
     """
-    n = len(tokens)
     if lows is None:
-        lows = [t.lower() for t in tokens]
-    tags: list[str | None] = [None] * n
-    confs: list[float] = [0.0] * n
-    gaz = _resources()[view_id - 1]
-    _gaz_match(tokens, gaz, tags, confs, lows=lows)
-
-    if view_id == 2:
-        for i, low in enumerate(lows):
-            if tags[i] is not None:
-                continue
-            if low.isdigit() and len(low) == 4 and 1900 <= int(low) <= 2099:
-                tags[i], confs[i] = "B-DATE", _stable_conf(f"v2|date|{low}")
-            elif low.isdigit():
-                tags[i], confs[i] = "B-CARDINAL", _stable_conf(f"v2|card|{low}")
-            elif low in _ORG_SUFFIX_SET:
-                tags[i], confs[i] = "B-ORG", _stable_conf(f"v2|org|{low}")
-    elif view_id == 3:
-        for i in range(1, n):
-            if tags[i] is not None:
-                continue
-            prev = lows[i - 1]
-            low = lows[i]
-            btag = _CUE_BTAG.get(prev)
-            if btag and low not in _FILLER_SET and not low.isdigit():
-                tags[i], confs[i] = btag, _stable_conf(f"v3|ctx|{prev}|{low}")
-
+        lows = [_lower(t) for t in tokens]
+    tags, confs = _tag_core(tokens, view_id, lows)
     for i, low in enumerate(lows):
         if tags[i] is None:
             tags[i], confs[i] = "O", _o_conf(low)
     return tags, confs  # type: ignore[return-value]
+
+
+def tag_tokens_stats(
+    tokens: list[str], view_id: int, lows: list[str],
+) -> tuple[list[str], list[float], dict[str, int], float]:
+    """tag_tokens_flat + fused per-view stats in ONE final walk:
+    returns (tags, confs, counts, cfd) where
+
+      counts == tag_counts_py(tags)            (same position-order
+                dict inserts — commutative int adds), and
+      cfd == avg_confident_score_flat(tags, confs, ignore_o=True)
+                bit-identically: both sum non-O confs left-to-right
+                from 0.0 in position order, then one round-4.
+
+    Saves two full re-walks of every sentence per view in the fused
+    tagging worker; parity with the staged functions is pinned by
+    test_tagging_stats_parity."""
+    tags, confs = _tag_core(tokens, view_id, lows)
+    counts: dict[str, int] = {}
+    get = counts.get
+    s = 0.0
+    k = 0
+    for i, low in enumerate(lows):
+        t = tags[i]
+        if t is None:
+            tags[i] = "O"
+            confs[i] = _o_conf(low)
+            counts["O"] = get("O", 0) + 1
+        else:
+            counts[t] = get(t, 0) + 1
+            s += confs[i]
+            k += 1
+    cfd = 0 if k == 0 else round(s / k, 4)
+    return tags, confs, counts, cfd  # type: ignore[return-value]
 
 
 def tag_sentence(text: str, view_id: int) -> list[dict]:
@@ -216,8 +287,26 @@ def tag_all_views_flat(text: str):
     """(tokens, [(tags_i, confs_i)] x3) — flat arrays, one tokenization
     and one lowercase pass shared across the three views."""
     tokens = tokenize(strip_punct(text))
-    lows = [t.lower() for t in tokens]
+    lows = [_lower(t) for t in tokens]
     return tokens, [tag_tokens_flat(tokens, v, lows=lows) for v in (1, 2, 3)]
+
+
+def tag_all_views_stats(text: str):
+    """(tokens, [(tags, confs, counts, cfd)] x3) — the fused-worker hot
+    path: one tokenization + one shared lowercase pass, and each view's
+    bag-of-tags counts and avg-confident score accumulated inside the
+    tagger's own final walk (tag_tokens_stats) instead of re-walking
+    every sentence 2 more times per view."""
+    tokens = tokenize(strip_punct(text))
+    lows = [_lower(t) for t in tokens]
+    return tokens, [tag_tokens_stats(tokens, v, lows) for v in (1, 2, 3)]
+
+
+def cosines_from_counts(c1: dict, c2: dict, c3: dict) -> tuple[float, float, float]:
+    """(cos12, cos23, cos13) from pre-built per-view count dicts — the
+    arithmetic is the oracle's cosine_from_counts verbatim."""
+    return (cosine_from_counts(c1, c2), cosine_from_counts(c2, c3),
+            cosine_from_counts(c1, c3))
 
 
 def view_cosines(t1: list[str], t2: list[str], t3: list[str]) -> tuple[float, float, float]:
@@ -226,9 +315,8 @@ def view_cosines(t1: list[str], t2: list[str], t3: list[str]) -> tuple[float, fl
     recount both sides per pair: 6 dict builds; this does 3). Same code
     path as the oracle's cosine_similarity (tag_counts_py +
     cosine_from_counts), so bit-identical by construction."""
-    c1, c2, c3 = tag_counts_py(t1), tag_counts_py(t2), tag_counts_py(t3)
-    return (cosine_from_counts(c1, c2), cosine_from_counts(c2, c3),
-            cosine_from_counts(c1, c3))
+    return cosines_from_counts(tag_counts_py(t1), tag_counts_py(t2),
+                               tag_counts_py(t3))
 
 
 def tag_sentences_df(sentences: DataFrame, passthrough: list[str] | None = None,
@@ -298,8 +386,6 @@ def tag_sentences_df(sentences: DataFrame, passthrough: list[str] | None = None,
 
 def _tag_sentences_flat(sentences: DataFrame, passthrough: list[str]) -> DataFrame:
     """Flat per-sentence tagging (rows are already sentences — no split)."""
-    from ..functions.simfn import avg_confident_score_flat
-
     extra_schema = "".join(
         f", {f.name} {f.dataType.simpleString()}"
         for f in sentences.schema.fields if f.name in passthrough
@@ -318,16 +404,14 @@ def _tag_sentences_flat(sentences: DataFrame, passthrough: list[str]) -> DataFra
                 **{c: list(pdf[c]) for c in passthrough},
             }
             for text in pdf["text"]:
-                toks, views = tag_all_views_flat(text)
+                toks, views = tag_all_views_stats(text)
                 out["tokens"].append(toks)
-                for v, (tags, confs) in enumerate(views, start=1):
+                for v, (tags, confs, _, cfd) in enumerate(views, start=1):
                     out[f"t{v}_tags"].append(tags)
                     out[f"t{v}_confs"].append(confs)
-                    out[f"t{v}_cfd"].append(
-                        avg_confident_score_flat(tags, confs, ignore_o=True)
-                    )
-                cos12, cos23, cos13 = view_cosines(
-                    views[0][0], views[1][0], views[2][0])
+                    out[f"t{v}_cfd"].append(cfd)
+                cos12, cos23, cos13 = cosines_from_counts(
+                    views[0][2], views[1][2], views[2][2])
                 out["cos12"].append(cos12)
                 out["cos23"].append(cos23)
                 out["cos13"].append(cos13)
@@ -352,7 +436,6 @@ def tag_pages_df(pages: DataFrame, passthrough: list[str] | None = None) -> Data
     cluster scale the fusion also removes two full serialize/deserialize
     round-trips of the sentence corpus per task.
     """
-    from ..functions.simfn import avg_confident_score_flat
     from ..functions.textnorm import extract_text, split_sentences
 
     passthrough = passthrough or []
@@ -378,18 +461,16 @@ def tag_pages_df(pages: DataFrame, passthrough: list[str] | None = None) -> Data
             for row_i, (url, payload) in enumerate(zip(pdf["url"], src)):
                 text = payload if has_text else extract_text(payload)
                 for sent_id, sent in enumerate(split_sentences(text)):
-                    toks, views = tag_all_views_flat(sent)
+                    toks, views = tag_all_views_stats(sent)
                     out["url"].append(url)
                     out["sent_id"].append(sent_id)
                     out["tokens"].append(toks)
-                    for v, (tags, confs) in enumerate(views, start=1):
+                    for v, (tags, confs, _, cfd) in enumerate(views, start=1):
                         out[f"t{v}_tags"].append(tags)
                         out[f"t{v}_confs"].append(confs)
-                        out[f"t{v}_cfd"].append(
-                            avg_confident_score_flat(tags, confs, ignore_o=True)
-                        )
-                    cos12, cos23, cos13 = view_cosines(
-                        views[0][0], views[1][0], views[2][0])
+                        out[f"t{v}_cfd"].append(cfd)
+                    cos12, cos23, cos13 = cosines_from_counts(
+                        views[0][2], views[1][2], views[2][2])
                     out["cos12"].append(cos12)
                     out["cos23"].append(cos23)
                     out["cos13"].append(cos13)
@@ -422,7 +503,6 @@ def tag_and_vote_pages_df(
     materializes sent_views as a checkpoint so sweeps can re-vote with
     different thresholds without re-tagging.
     """
-    from ..functions.simfn import avg_confident_score_flat
     from ..functions.textnorm import extract_text, split_sentences
     from .mentions import vote_sentence_flat
 
@@ -453,14 +533,12 @@ def tag_and_vote_pages_df(
             for row_i, (url, payload) in enumerate(zip(pdf["url"], src)):
                 text = payload if has_text else extract_text(payload)
                 for sent_id, sent in enumerate(split_sentences(text)):
-                    toks, views = tag_all_views_flat(sent)
+                    toks, views = tag_all_views_stats(sent)
                     tags_v = [v[0] for v in views]
                     confs_v = [v[1] for v in views]
-                    cfds = [
-                        avg_confident_score_flat(t, c, ignore_o=True)
-                        for t, c in views
-                    ]
-                    cosines = view_cosines(tags_v[0], tags_v[1], tags_v[2])
+                    cfds = [v[3] for v in views]
+                    cosines = cosines_from_counts(
+                        views[0][2], views[1][2], views[2][2])
                     picked = vote_sentence_flat(
                         tags_v, confs_v, cfds, cosines,
                         cos_threshold, tcfd_threshold, scfd_threshold,

@@ -58,8 +58,10 @@ def _stable_conf(key: str, lo: float = 0.55, hi: float = 0.99) -> float:
     """Planted per-entry confidence in [lo, hi), round 4 (utils.py:70,88).
 
     md5-based so it is stable across processes (no PYTHONHASHSEED
-    effect); pure, so memoized — the tagging hot path calls it once per
-    token occurrence but the corpus vocabulary is small.
+    effect); pure, so memoized (bounded — webtext keys are Zipfian but
+    unbounded): the tagging hot path resolves most occurrences through
+    the per-rule caches in operators/tagging.py, and this cache catches
+    every remaining repeat-key caller.
     """
     h = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
     return round(lo + (h / 0xFFFFFFFF) * (hi - lo), 4)
