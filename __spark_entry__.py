@@ -700,6 +700,15 @@ def q30_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from thesis_ner_co_tri_training_spark.operators.linking import (
         connected_components)
 
+    return connected_components(
+        _doc_graph_edges(spark, sf_dir)).orderBy("node")
+
+
+def _doc_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic doc graph shared by q30 (components) and q49
+    (k-hop BFS): chain edges (i, i+1) except every 7th (chains of ~7),
+    plus long-range edges (i, i+13) for i % 50 == 0 (cross-chain
+    merges). Node ids zero-padded so string order == numeric order."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     ids = docs.select(F.col("doc_id").alias("y"))
     pad = lambda c: F.lpad(c.cast("string"), 8, "0")
@@ -713,9 +722,8 @@ def q30_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("x"), (F.col("doc_id") + 13).alias("y"))
         .join(ids, "y")
     )
-    edges = chain.unionByName(far).select(
+    return chain.unionByName(far).select(
         pad(F.col("x")).alias("a"), pad(F.col("y")).alias("b"))
-    return connected_components(edges).orderBy("node")
 
 
 def q31_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1021,6 +1029,48 @@ def q47_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                                dst="obj").orderBy("node")
 
 
+def q48_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-occurrence edge weighting over the q21 mention set
+    (operators/triples.cooccurrence_lift): document-level pair counts,
+    per-surface document frequencies, and lift = n_docs*n_ab/(n_a*n_b)
+    as ONE double division of exact int64 operands (log-free PMI form,
+    engine-portable)."""
+    from thesis_ner_co_tri_training_spark.operators.triples import (
+        cooccurrence_lift)
+
+    return (
+        cooccurrence_lift(_mentions(spark, sf_dir), doc_col="doc_id",
+                          surface_col="word")
+        .orderBy("a", "b")
+    )
+
+
+def q49_k_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k_hop ENGINE path (plans/graph.k_hop — q35's two-hop contract
+    form is a deliberately self-contained twin) driver-oracled at k=3:
+    bounded multi-source BFS over the q30 doc graph (the entity graph is
+    a dense 8-clique — every node is one hop away; the chain+far doc
+    graph has real multi-hop frontiers) from every doc_id % 4 == 0.
+    Exercises the min-hop anti-join (far-edge targets are reached at hop
+    1, not along the chain) AND fan-in > 1 (a far target whose chain
+    predecessor is also a source counts two hop-0 predecessors). The
+    DuckDB oracle unrolls the three frontier expansions with
+    MATERIALIZED CTEs."""
+    from thesis_ner_co_tri_training_spark.plans.graph import k_hop
+
+    e = _doc_graph_edges(spark, sf_dir)
+    sources = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 0)
+        .select(F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("node"))
+    )
+    return (
+        k_hop(e, sources, k=3, src="a", dst="b")
+        .select("node", F.col("hops").cast("long").alias("hops"), "n_paths")
+        .orderBy("node")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1070,6 +1120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_salted_agg": q45_salted_agg,
         "q46_near_dup_clusters": q46_near_dup_clusters,
         "q47_pagerank": q47_pagerank,
+        "q48_cooccurrence_lift": q48_cooccurrence_lift,
+        "q49_k_hop": q49_k_hop,
     }
 
 
@@ -1208,6 +1260,73 @@ def _q47_sql(iters: int = 10, scale: int = 10**12) -> str:
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r{iters} "
               "ORDER BY node")
+
+
+_Q48_SQL = f"""
+    WITH {_TOK_CTE},
+    m AS (SELECT DISTINCT t.doc_id, t.word
+          FROM tok t JOIN {_GAZ_SQL} ON t.word = g.word),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM m),
+    p AS (SELECT ma.word AS a, mb.word AS b, count(*) AS n_ab
+          FROM m ma JOIN m mb
+          ON ma.doc_id = mb.doc_id AND ma.word < mb.word
+          GROUP BY ma.word, mb.word),
+    df AS (SELECT word, count(*) AS dfc FROM m GROUP BY word)
+    SELECT p.a, p.b,
+           CAST(p.n_ab AS BIGINT) AS n_ab,
+           CAST(da.dfc AS BIGINT) AS n_a,
+           CAST(db.dfc AS BIGINT) AS n_b,
+           CAST(nd.n_docs * p.n_ab AS DOUBLE) / (da.dfc * db.dfc) AS lift
+    FROM p
+    JOIN df da ON da.word = p.a
+    JOIN df db ON db.word = p.b
+    CROSS JOIN nd
+    ORDER BY a, b
+"""
+
+
+def _q49_sql(k: int = 3) -> str:
+    """k_hop oracle: unrolled bounded BFS over the q30 doc graph. Each
+    round joins the previous frontier into the edge table, counts
+    distinct-predecessor fan-in, and anti-joins the visited set so a
+    node keeps its MINIMUM hop count — the exact recurrence of
+    plans/graph.k_hop. MATERIALIZED for the same reason as _q47_sql
+    (each round references the previous twice)."""
+    m = "AS MATERIALIZED"
+    edges = """
+        SELECT lpad(CAST(x.doc_id AS VARCHAR), 8, '0') AS u,
+               lpad(CAST(x.doc_id + 1 AS VARCHAR), 8, '0') AS v
+        FROM documents x
+        WHERE x.doc_id % 7 <> 6
+          AND EXISTS (SELECT 1 FROM documents i WHERE i.doc_id = x.doc_id + 1)
+        UNION ALL
+        SELECT lpad(CAST(x.doc_id AS VARCHAR), 8, '0'),
+               lpad(CAST(x.doc_id + 13 AS VARCHAR), 8, '0')
+        FROM documents x
+        WHERE x.doc_id % 50 = 0
+          AND EXISTS (SELECT 1 FROM documents i WHERE i.doc_id = x.doc_id + 13)
+    """
+    ctes = [
+        f"e {m} (SELECT DISTINCT u, v FROM ({edges}))",
+        f"s {m} (SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS node "
+        f"FROM documents WHERE doc_id % 4 = 0)",
+        f"v0 {m} (SELECT node, 0 AS hops, CAST(1 AS BIGINT) AS n_paths FROM s)",
+        f"f0 {m} (SELECT node FROM v0)",
+    ]
+    for h in range(1, k + 1):
+        p = h - 1
+        ctes.append(
+            f"n{h} {m} (SELECT e.v AS node, count(*) AS n_paths "
+            f"FROM f{p} JOIN e ON e.u = f{p}.node GROUP BY e.v)")
+        ctes.append(
+            f"x{h} {m} (SELECT node, {h} AS hops, n_paths FROM n{h} "
+            f"WHERE node NOT IN (SELECT node FROM v{p}))")
+        ctes.append(
+            f"v{h} {m} (SELECT * FROM v{p} UNION ALL SELECT * FROM x{h})")
+        ctes.append(f"f{h} {m} (SELECT node FROM x{h})")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, CAST(hops AS BIGINT) AS hops, n_paths "
+              f"FROM v{k} ORDER BY node")
 
 
 def _q37_sql(bits: int = 60) -> str:
@@ -1939,4 +2058,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q46_near_dup_clusters": _q46_sql(),
         "q47_pagerank": _q47_sql(),
+        "q48_cooccurrence_lift": _Q48_SQL,
+        "q49_k_hop": _q49_sql(),
     }

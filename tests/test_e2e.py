@@ -155,3 +155,45 @@ def test_write_prf_artifact(spark, tmp_path, engine_out, oracle_out):
     rep = prf_report(mentions, gold, keys=["url", "sent_id", "beg", "end"])
     for r in rep.collect():
         assert f"{r['precision']:.4f}" in text and str(r["support"]) in text
+
+
+def test_cooccurrence_lift_oracle(spark):
+    """cooccurrence_lift vs a brute-force pure-Python oracle on a small
+    mention table with repeats (distinct-per-doc semantics), singleton
+    surfaces (appear in no pair), and a doc with no co-mentions."""
+    from itertools import combinations
+
+    from thesis_ner_co_tri_training_spark.operators.triples import (
+        cooccurrence_lift)
+
+    rows = [
+        (1, "spark"), (1, "hash"), (1, "spark"),   # repeat within doc
+        (2, "spark"), (2, "hash"), (2, "vector"),
+        (3, "vector"), (3, "spark"),
+        (4, "hash"),                                # no pair partner
+        (5, "stream"), (5, "spark"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, word string")
+    got = {(r["a"], r["b"]): (r["n_ab"], r["n_a"], r["n_b"], r["lift"])
+           for r in cooccurrence_lift(df).collect()}
+
+    docs = {}
+    for d, w in rows:
+        docs.setdefault(d, set()).add(w)
+    n_docs = len(docs)
+    marg: dict[str, int] = {}
+    for ws in docs.values():
+        for w in ws:
+            marg[w] = marg.get(w, 0) + 1
+    pairs: dict[tuple[str, str], int] = {}
+    for ws in docs.values():
+        for a, b in combinations(sorted(ws), 2):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    want = {
+        (a, b): (n, marg[a], marg[b], (n_docs * n) / (marg[a] * marg[b]))
+        for (a, b), n in pairs.items()
+    }
+    assert got == want
+    assert ("hash", "spark") in got and got[("hash", "spark")][0] == 2
+    assert all(a < b for a, b in got)          # canonical orientation
+    assert "stream" in {x for ab in got for x in ab}  # 1-doc surface kept

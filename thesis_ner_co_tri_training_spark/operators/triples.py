@@ -67,3 +67,50 @@ def extract_triples(voted: DataFrame, cues: list[str] | None = None) -> DataFram
             F.col("tr.confidence").alias("confidence"),
         )
     )
+
+
+def cooccurrence_lift(mentions: DataFrame, doc_col: str = "doc_id",
+                      surface_col: str = "word") -> DataFrame:
+    """Entity co-occurrence edge weighting: (a, b, n_ab, n_a, n_b, lift).
+
+    For every unordered surface pair (a < b), n_ab = documents containing
+    BOTH, n_a/n_b = each surface's document frequency, and
+    lift = (n_docs * n_ab) / (n_a * n_b) — the PMI family's exp form,
+    kept log-free so the score is ONE double division of exact int64
+    operands (identical IEEE result in any engine; ln() would be
+    libm-dependent and break cross-engine value hashes). lift > 1 means
+    the pair co-occurs more than independence predicts — the standard
+    edge-weight prior for KG link scoring. n_docs = documents containing
+    at least one mention (both engines derive it from the same set).
+
+    Shuffle shape at 100 TB: one distinct on (doc, surface), one per-doc
+    self-join (bounded by per-document mention count), one (a, b)-keyed
+    aggregate, two surface-keyed marginal joins (AQE broadcasts the
+    marginal side when small), and a broadcast scalar for n_docs — no
+    driver-side action.
+    """
+    ms = (
+        mentions.select(F.col(doc_col).alias("d"),
+                        F.col(surface_col).alias("s"))
+        .distinct()
+    )
+    n_docs = ms.agg(F.count_distinct("d").alias("n_docs"))
+    marg = ms.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    pairs = (
+        ms.select("d", F.col("s").alias("a"))
+        .join(ms.select("d", F.col("s").alias("b")), "d")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    return (
+        pairs
+        .join(marg.select(F.col("s").alias("a"), F.col("df").alias("n_a")), "a")
+        .join(marg.select(F.col("s").alias("b"), F.col("df").alias("n_b")), "b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "a", "b", "n_ab", "n_a", "n_b",
+            ((F.col("n_docs") * F.col("n_ab")).cast("double")
+             / (F.col("n_a") * F.col("n_b"))).alias("lift"),
+        )
+    )
