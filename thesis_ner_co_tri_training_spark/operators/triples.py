@@ -83,16 +83,20 @@ def cooccurrence_lift(mentions: DataFrame, doc_col: str = "doc_id",
     edge-weight prior for KG link scoring. n_docs = documents containing
     at least one mention (both engines derive it from the same set).
 
-    Shuffle shape at 100 TB: one distinct on (doc, surface), one per-doc
-    self-join (bounded by per-document mention count), one (a, b)-keyed
-    aggregate, two surface-keyed marginal joins (AQE broadcasts the
-    marginal side when small), and a broadcast scalar for n_docs — no
-    driver-side action.
+    Shuffle shape at 100 TB: one distinct on (doc, surface) materialized
+    ONCE via localCheckpoint (four consumers — the two self-join sides,
+    the marginals, and the doc count — would otherwise each re-derive
+    the distinct from the raw mention stream; same cut pattern as the
+    q19/q30 plans), then one per-doc self-join (bounded by per-document
+    mention count), one (a, b)-keyed aggregate, two surface-keyed
+    marginal joins (AQE broadcasts the marginal side when small), and a
+    broadcast scalar for n_docs — no driver-side action.
     """
     ms = (
         mentions.select(F.col(doc_col).alias("d"),
                         F.col(surface_col).alias("s"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n_docs = ms.agg(F.count_distinct("d").alias("n_docs"))
     marg = ms.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
