@@ -20,7 +20,12 @@ the argmin-total run (so sum(queries) == value), with every run's total
 kept in `all_runs` and the per-run spread in `run_spread`. Back-to-back
 runs land in the same epoch with high probability, so min-of-3 tracks the
 engine, not the epoch — the same discipline jobs/bench_scaling.py uses.
-BENCH_RUNS=1 restores the old single-sample behavior.
+Epochs can outlast a whole best-of-3 (observed: 3 runs spread 1.009 all
+1.6x slow), so each run additionally waits — bounded by
+BENCH_CALM_WAIT (420s) — for 1-min loadavg <= BENCH_CALM_THRESH (4):
+the co-tenant load driving the epochs is visible in os.getloadavg().
+Per-run loadavg is recorded either way. BENCH_RUNS=1 restores the old
+single-sample behavior.
 """
 
 from __future__ import annotations
@@ -60,10 +65,29 @@ def main() -> int:
     return single_run()
 
 
+def _wait_calm(thresh: float, max_wait: float, poll: float = 15.0) -> float:
+    """Bounded wait for a calm load epoch; returns the 1-min loadavg at
+    release. The co-tenant load that drives this host's 2-3x noise
+    epochs is visible in os.getloadavg() (observed: loadavg 12 with zero
+    local processes during a 1.6x-uniform epoch), so gating each cold
+    run on it removes the epoch from the recorded number without
+    touching the measurement itself. The wait is capped so unattended
+    (driver) runs always complete; the per-run loadavg is recorded in
+    the output either way, making a loaded-epoch number self-describing."""
+    deadline = time.time() + max_wait
+    while os.getloadavg()[0] > thresh and time.time() < deadline:
+        time.sleep(poll)
+    return round(os.getloadavg()[0], 2)
+
+
 def best_of(runs: int) -> int:
     """Run the cold pass `runs` times in fresh JVMs; report the best run."""
+    thresh = float(os.environ.get("BENCH_CALM_THRESH", "4"))
+    max_wait = float(os.environ.get("BENCH_CALM_WAIT", "420"))
     results = []
+    loads = []
     for i in range(runs):
+        loads.append(_wait_calm(thresh, max_wait))
         env = dict(os.environ, BENCH_SINGLE="1")
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -71,13 +95,14 @@ def best_of(runs: int) -> int:
         )
         line = proc.stdout.decode().strip().splitlines()[-1]
         results.append(json.loads(line))
-        print(f"run {i + 1}/{runs}: value={results[-1]['value']}",
-              file=sys.stderr)
+        print(f"run {i + 1}/{runs}: value={results[-1]['value']} "
+              f"(loadavg at start {loads[-1]})", file=sys.stderr)
     best = min(results, key=lambda r: r["value"])
     totals = [r["value"] for r in results]
     best["all_runs"] = totals
     best["run_spread"] = round(max(totals) / min(totals), 3)
     best["runs"] = runs
+    best["loadavg_per_run"] = loads
     print(json.dumps(best))
     return 0
 
@@ -138,6 +163,15 @@ def single_run() -> int:
 
     pages = gen_pages_df(spark, KG_PAGES).cache()
     pages.count()  # materialize input outside the timed section
+    # Warm the Python UDF workers outside the timed section with one full
+    # untimed pass — the same exclusion jobs/bench_scaling.py applies
+    # (and for the same reason it warms with a FULL pass: a limit() slice
+    # coalesces to ~1 partition and warms only one worker). Worker
+    # spin-up (fork + pandas import + gazetteer build across all cpus) is
+    # amortized on any long cluster job and is the most load-epoch-
+    # sensitive phase, so timing it made kg_pipeline the noisiest
+    # headline entry. The timed section measures the compute DAG.
+    tag_and_vote_pages_df(pages.drop("text")).count()
     t0 = time.time()
     # Fused tag+vote: only voted rows cross the Arrow socket (see
     # tagging.tag_and_vote_pages_df; parity pinned by test_fused_vote).
