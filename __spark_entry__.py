@@ -1071,6 +1071,20 @@ def q49_k_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q50_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (textstats.decontaminate): every doc
+    with its count of distinct 5-gram shingles shared with the
+    deterministic benchmark subset (doc_id % 97 == 0) and the
+    contaminated flag — the GPT-3/Llama-style n-gram overlap rule over
+    dedup's shingle machinery."""
+    from thesis_ner_co_tri_training_spark.operators.textstats import (
+        decontaminate)
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, bench, n=5).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1122,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_pagerank": q47_pagerank,
         "q48_cooccurrence_lift": q48_cooccurrence_lift,
         "q49_k_hop": q49_k_hop,
+        "q50_decontaminate": q50_decontaminate,
     }
 
 
@@ -1327,6 +1342,39 @@ def _q49_sql(k: int = 3) -> str:
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT node, CAST(hops AS BIGINT) AS hops, n_paths "
               f"FROM v{k} ORDER BY node")
+
+
+def _q50_sql(n: int = 5, bench_mod: int = 97) -> str:
+    """decontaminate oracle: same lower/whitespace-collapse normalization
+    as the minhash oracles, n-gram assembly via list_slice, distinct
+    per-doc shingles semi-joined against the distinct benchmark shingle
+    set, clean docs kept with n_hits = 0."""
+    return f"""
+        WITH nt AS MATERIALIZED (
+            SELECT doc_id,
+                   string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+            FROM documents
+        ),
+        g AS MATERIALIZED (
+            SELECT nt.doc_id,
+                   array_to_string(list_slice(nt.t, i.i, i.i + {n - 1}), ' ') AS s
+            FROM nt, LATERAL (
+                SELECT unnest(generate_series(1, len(nt.t) - {n - 1})) AS i
+            ) i
+        ),
+        shd AS (SELECT DISTINCT doc_id, s FROM g),
+        bsh AS (SELECT DISTINCT s FROM g WHERE doc_id % {bench_mod} = 0),
+        hits AS (
+            SELECT d.doc_id, count(*) AS n_hits
+            FROM shd d JOIN bsh b ON b.s = d.s
+            GROUP BY d.doc_id
+        )
+        SELECT doc.doc_id,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               coalesce(h.n_hits, 0) > 0 AS contaminated
+        FROM documents doc LEFT JOIN hits h ON h.doc_id = doc.doc_id
+        ORDER BY doc.doc_id
+    """
 
 
 def _q37_sql(bits: int = 60) -> str:
@@ -2060,4 +2108,5 @@ def oracle_sql() -> dict[str, str]:
         "q47_pagerank": _q47_sql(),
         "q48_cooccurrence_lift": _Q48_SQL,
         "q49_k_hop": _q49_sql(),
+        "q50_decontaminate": _q50_sql(),
     }

@@ -291,3 +291,28 @@ def test_near_dup_clusters_value_oracle(spark):
            for r in near_dup_clusters(df).collect()}
     assert got == want
     assert any(not keep for _, keep in got.values())  # real dups exist
+
+
+def test_decontaminate(spark):
+    """decontaminate vs hand-computed overlap: full containment, partial
+    n-gram overlap, clean doc, and a doc shorter than n tokens (no
+    shingles -> never contaminated, still present with n_hits = 0)."""
+    from thesis_ner_co_tri_training_spark.operators.textstats import (
+        decontaminate)
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id bigint, text string")
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # identical
+            (2, "a sly quick brown fox jumps over me today"),    # partial
+            (3, "completely unrelated text with no overlap at all here"),
+            (4, "quick brown fox"),                              # < n tokens
+        ],
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["n_hits"], r["contaminated"])
+           for r in decontaminate(docs, bench, n=5).collect()}
+    # doc 1: 9 tokens -> 5 distinct 5-grams, all in benchmark
+    # doc 2: shares exactly "quick brown fox jumps over" (1 shingle)
+    assert got == {1: (5, True), 2: (1, True), 3: (0, False), 4: (0, False)}

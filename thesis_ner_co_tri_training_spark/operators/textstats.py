@@ -274,3 +274,49 @@ def corpus_stats(df: DataFrame, id_col: str = "doc_id",
         )
         .orderBy("lang")
     )
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 8, bench_text_col: str | None = None) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    n-gram with an evaluation/benchmark set (the GPT-3/Llama-style
+    n-gram overlap rule). Returns every doc as (id, n_hits,
+    contaminated): n_hits = how many DISTINCT of the doc's n-gram
+    shingles appear anywhere in the benchmark, contaminated = n_hits > 0.
+
+    Shares dedup's shingle machinery (token_shingles_long: lower +
+    whitespace-collapse normalization, slice/concat assembly, no
+    pre-join shuffle beyond the explode) so the dedup and
+    decontamination passes agree on tokenization by construction.
+
+    Shuffle shape at 100 TB: benchmark shingles are distinct-reduced
+    then joined shingle-keyed against the exploded doc shingles —
+    benchmarks are small relative to the corpus, so AQE broadcasts that
+    side and the doc stream never shuffles before the per-doc count
+    aggregate; the final left join back to ids preserves clean docs
+    with n_hits = 0.
+    """
+    from .dedup import token_shingles_long
+
+    bs = (
+        token_shingles_long(
+            benchmark, id_col, bench_text_col or text_col, n)
+        .select("s")
+        .distinct()
+    )
+    ds = token_shingles_long(docs, id_col, text_col, n)
+    hits = (
+        ds.join(bs, "s")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
