@@ -1085,6 +1085,36 @@ def q50_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, n=5).orderBy("doc_id")
 
 
+def q51_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (operators/events.range_join — Spark has no native
+    range join; the operator buckets time so candidates stay bounded):
+    every event inside a same-user post-purchase window [purchase_ts,
+    purchase_ts + 30 min), the purchase itself included (half-open
+    start) and an event exactly at +30 min excluded. Oracle: DuckDB's
+    native inequality join (IEJoin). Interval arithmetic only — no
+    epoch casts in hashed columns (repo timezone rule)."""
+    from thesis_ner_co_tri_training_spark.operators.events import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    wins = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+            F.col("event_id").alias("win_id"),
+        )
+    )
+    pts = ev.select("event_id", "user_id", "ts", "event_type")
+    return (
+        range_join(pts, wins, key="user_id", ts="ts", bucket_seconds=1800)
+        .select("user_id", "ts", "event_id", "event_type",
+                F.col("r_win_id").alias("win_id"),
+                F.col("r_start").alias("win_start"))
+        .orderBy("user_id", "win_id", "event_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1137,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_cooccurrence_lift": q48_cooccurrence_lift,
         "q49_k_hop": q49_k_hop,
         "q50_decontaminate": q50_decontaminate,
+        "q51_range_join": q51_range_join,
     }
 
 
@@ -2109,4 +2140,18 @@ def oracle_sql() -> dict[str, str]:
         "q48_cooccurrence_lift": _Q48_SQL,
         "q49_k_hop": _q49_sql(),
         "q50_decontaminate": _q50_sql(),
+        "q51_range_join": """
+            WITH w AS (
+                SELECT user_id, ts AS win_start,
+                       ts + INTERVAL 30 MINUTE AS win_end,
+                       event_id AS win_id
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT e.user_id, e.ts, e.event_id, e.event_type,
+                   w.win_id, w.win_start
+            FROM events e
+            JOIN w ON w.user_id = e.user_id
+                  AND e.ts >= w.win_start AND e.ts < w.win_end
+            ORDER BY e.user_id, win_id, event_id
+        """,
     }

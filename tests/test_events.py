@@ -177,3 +177,47 @@ def test_funnel_stages_order_matters(spark):
     assert got[3][0] == 2 and got[3][1] == T(5)
     assert got[4] == (0, None, None)
     assert len(got) == 4
+
+
+def test_range_join_matches_naive(spark):
+    """range_join (bucketized) vs the naive equi-join+filter on seeded
+    random data whose intervals span 0-3 buckets, plus pinned edges:
+    point exactly at start (matches, half-open), exactly at end (does
+    not), inverted/empty intervals (match nothing), and a point in a
+    middle bucket of a long interval."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import functions as F
+
+    from thesis_ner_co_tri_training_spark.operators.events import range_join
+
+    rng = random.Random(11)
+    base = dt.datetime(2024, 1, 1)
+    pts = [(i, i % 7, base + dt.timedelta(seconds=rng.randrange(0, 40000)))
+           for i in range(300)]
+    ivs = []
+    for j in range(80):
+        s = base + dt.timedelta(seconds=rng.randrange(0, 40000))
+        ln = rng.choice([-600, 0, 90, 1800, 5400])  # incl. inverted/empty
+        ivs.append((j, j % 7, s, s + dt.timedelta(seconds=ln)))
+    # pinned edges on one key: start-inclusive, end-exclusive, mid-bucket
+    pts += [(1000, 99, base), (1001, 99, base + dt.timedelta(seconds=3600)),
+            (1002, 99, base + dt.timedelta(seconds=2500))]
+    ivs += [(500, 99, base, base + dt.timedelta(seconds=3600))]
+
+    lp = spark.createDataFrame(
+        pts, "event_id long, user_id long, ts timestamp")
+    ri = spark.createDataFrame(
+        ivs, "win_id long, user_id long, start timestamp, end timestamp")
+
+    got = {(r["event_id"], r["r_win_id"])
+           for r in range_join(lp, ri, bucket_seconds=1800).collect()}
+    naive = {(r["event_id"], r["win_id"])
+             for r in lp.join(ri, "user_id")
+             .filter((F.col("ts") >= F.col("start"))
+                     & (F.col("ts") < F.col("end"))).collect()}
+    assert got == naive and len(got) > 50
+    assert (1000, 500) in got      # ts == start matches
+    assert (1001, 500) not in got  # ts == end excluded
+    assert (1002, 500) in got      # middle bucket of a 3-bucket interval

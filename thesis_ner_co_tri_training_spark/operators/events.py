@@ -163,3 +163,55 @@ def funnel_stages(events: DataFrame, steps: list[str],
         .withColumn("stage", stage)
         .orderBy(user_col)
     )
+
+
+def range_join(left: DataFrame, right: DataFrame, key: str = "user_id",
+               ts: str = "ts", start: str = "start", end: str = "end",
+               bucket_seconds: int = 1800, prefix: str = "r_") -> DataFrame:
+    """Interval (range) join: each left point row matched to every right
+    interval row with the same key whose half-open [start, end) contains
+    the point's ts. Spark has no native range join; the naive form —
+    equi-join on key alone, then filter — materializes every point x
+    every interval per key before filtering, which explodes on hot keys.
+
+    Scalable form: time is chunked into fixed buckets. Each interval
+    EXPLODES to the buckets it covers (one row when its length <= the
+    bucket width), each point lands in exactly one bucket, the join runs
+    on (key, bucket) — candidate volume is bounded by true matches plus
+    one bucket of slack — and the exact predicate verifies. Pick
+    bucket_seconds near the typical interval length: shorter buckets
+    multiply interval rows, longer ones widen candidate slack.
+
+    Bucket assignment is session-timezone-proof: a contained point's
+    bucket always lies within its interval's covered bucket range
+    (floor is monotone and both sides shift by the same epoch offset),
+    so the verified output is identical for any tz. Empty or inverted
+    intervals (end <= start) match nothing, consistent with the
+    half-open contract (also keeps the bucket `sequence` ascending).
+    Right payload columns are prefixed; output = left.* + prefixed
+    start/end/payloads, one row per (point, interval) match.
+    """
+    w = bucket_seconds * 1_000_000
+    um = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    pay = [c for c in right.columns if c not in (key, start, end)]
+    lb = left.withColumn("__b", F.floor(um(ts) / F.lit(w)))
+    rb = (
+        right.filter(F.col(end) > F.col(start))
+        .withColumn(
+            "__b",
+            F.explode(F.sequence(F.floor(um(start) / F.lit(w)),
+                                 F.floor((um(end) - 1) / F.lit(w)))),
+        )
+        .select(
+            F.col(key), "__b",
+            F.col(start).alias(f"{prefix}{start}"),
+            F.col(end).alias(f"{prefix}{end}"),
+            *[F.col(c).alias(f"{prefix}{c}") for c in pay],
+        )
+    )
+    return (
+        lb.join(rb, [key, "__b"])
+        .filter((F.col(ts) >= F.col(f"{prefix}{start}"))
+                & (F.col(ts) < F.col(f"{prefix}{end}")))
+        .drop("__b")
+    )
