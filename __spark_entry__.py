@@ -1115,6 +1115,23 @@ def q51_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q52_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over events (operators/events.
+    cohort_retention): users bucketed by the Monday-start week of their
+    first event; (cohort, offset, distinct active users). Monday
+    truncation and whole-week day differences are engine-identical, so
+    every output column is exact. Runs on the deterministic
+    event_id % 20 subset — the full table is so dense (~67 events/user/
+    month) that every user's first event lands in week one; the sparse
+    stream spreads first events across weeks, so the matrix has real
+    cohort structure."""
+    from thesis_ner_co_tri_training_spark.operators.events import (
+        cohort_retention)
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    return cohort_retention(ev).orderBy("cohort", "offset")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1168,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_k_hop": q49_k_hop,
         "q50_decontaminate": q50_decontaminate,
         "q51_range_join": q51_range_join,
+        "q52_cohort_retention": q52_cohort_retention,
     }
 
 
@@ -2153,5 +2171,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN w ON w.user_id = e.user_id
                   AND e.ts >= w.win_start AND e.ts < w.win_end
             ORDER BY e.user_id, win_id, event_id
+        """,
+        "q52_cohort_retention": """
+            WITH ev AS (SELECT * FROM events WHERE event_id % 20 = 0),
+            f AS (
+                SELECT user_id, date_trunc('week', min(ts)) AS cohort
+                FROM ev GROUP BY user_id
+            ),
+            a AS (
+                SELECT DISTINCT user_id, date_trunc('week', ts) AS p
+                FROM ev
+            )
+            SELECT f.cohort,
+                   CAST(datediff('day', f.cohort, a.p) // 7 AS BIGINT) AS "offset",
+                   CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+            FROM a JOIN f ON f.user_id = a.user_id
+            GROUP BY f.cohort, "offset"
+            ORDER BY f.cohort, "offset"
         """,
     }

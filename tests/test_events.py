@@ -221,3 +221,32 @@ def test_range_join_matches_naive(spark):
     assert (1000, 500) in got      # ts == start matches
     assert (1001, 500) not in got  # ts == end excluded
     assert (1002, 500) in got      # middle bucket of a 3-bucket interval
+
+
+def test_cohort_retention_oracle(spark):
+    """cohort_retention vs a hand-computed matrix: two cohorts, a user
+    active in non-consecutive weeks (gap week produces no row), and
+    offset-0 rows equal to cohort sizes."""
+    import datetime as dt
+
+    from thesis_ner_co_tri_training_spark.operators.events import (
+        cohort_retention)
+
+    mon = dt.datetime(2024, 1, 1)  # a Monday
+    d = lambda w, extra=0: mon + dt.timedelta(days=7 * w + extra)
+    rows = [
+        # u1: cohort w0, active w0, w1, w3 (skips w2)
+        (1, d(0, 2)), (1, d(1)), (1, d(3, 4)),
+        # u2: cohort w0, active w0 only
+        (2, d(0, 5)),
+        # u3: cohort w1, active w1, w2
+        (3, d(1, 1)), (3, d(2, 6)), (3, d(2)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r["cohort"].date(), r["offset"]): r["n_users"]
+           for r in cohort_retention(ev).collect()}
+    assert got == {
+        (mon.date(), 0): 2, (mon.date(), 1): 1, (mon.date(), 3): 1,
+        ((mon + dt.timedelta(days=7)).date(), 0): 1,
+        ((mon + dt.timedelta(days=7)).date(), 1): 1,
+    }

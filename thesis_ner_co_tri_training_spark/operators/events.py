@@ -215,3 +215,36 @@ def range_join(left: DataFrame, right: DataFrame, key: str = "user_id",
                 & (F.col(ts) < F.col(f"{prefix}{end}")))
         .drop("__b")
     )
+
+
+def cohort_retention(events: DataFrame, key: str = "user_id",
+                     ts: str = "ts", period: str = "week") -> DataFrame:
+    """Cohort retention matrix: users grouped by the period of their
+    FIRST event; for every (cohort, period offset), how many of that
+    cohort's users were active. Output (cohort, offset, n_users) —
+    offset 0 rows equal each cohort's size by construction.
+
+    Two keyed aggregations and one join, all on the user key: per-user
+    first-activity (one shuffle), distinct (user, period) activity (the
+    same shuffle key), then a user-keyed join and a (cohort, offset)
+    aggregate. offset is an exact integer: both sides are truncated to
+    period boundaries, so the day difference is a whole multiple of the
+    period length (Monday-start weeks in Spark and DuckDB alike — no
+    timezone-dependent arithmetic in any output column).
+    """
+    days = {"week": 7, "day": 1}[period]
+    per = lambda c: F.date_trunc(period, F.col(c))
+    first = events.groupBy(key).agg(F.min(ts).alias("__first"))
+    cohort = first.select(key, per("__first").alias("cohort"))
+    active = events.select(key, per(ts).alias("__p")).distinct()
+    return (
+        active.join(cohort, key)
+        .select(
+            "cohort",
+            (F.datediff(F.col("__p"), F.col("cohort")) / days)
+            .cast("long").alias("offset"),
+            F.col(key),
+        )
+        .groupBy("cohort", "offset")
+        .agg(F.count_distinct(key).alias("n_users"))
+    )
