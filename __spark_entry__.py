@@ -1115,6 +1115,23 @@ def q51_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q53_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-quantile pruning (textstats.prune_by_quality,
+    exact contract path): row_number over (quality DESC, doc_id) within
+    each language, kept while rank <= ceil(0.5 * group size). The
+    engine default is the approx-percentile threshold form (no
+    per-group global sort); this exact twin oracles the same decision
+    boundary."""
+    from thesis_ner_co_tri_training_spark.operators.textstats import (
+        prune_by_quality)
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        prune_by_quality(docs, keep_frac=0.5, exact=True)
+        .orderBy("doc_id")
+    )
+
+
 def q52_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention over events (operators/events.
     cohort_retention): users bucketed by the Monday-start week of their
@@ -1186,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_decontaminate": q50_decontaminate,
         "q51_range_join": q51_range_join,
         "q52_cohort_retention": q52_cohort_retention,
+        "q53_quality_prune": q53_quality_prune,
     }
 
 
@@ -1500,6 +1518,50 @@ def oracle_sql() -> dict[str, str]:
             FROM counted
         )
     """
+    q14_body = lang_base + """
+        , alpha AS (
+            SELECT doc_id,
+                   len(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
+                   len(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace
+            FROM documents
+        ),
+        distincts AS (
+            SELECT doc_id, len(list_distinct(toks)) AS n_distinct FROM counted
+        )
+        SELECT r.doc_id, CAST(r.n_tokens AS INTEGER) AS n_tokens,
+               round((
+                   least(r.n_tokens / 100.0, 1.0)
+                   + CASE WHEN a.n_nonspace = 0 THEN 0.0
+                          ELSE CAST(a.n_alpha AS DOUBLE) / a.n_nonspace END
+                   + least(greatest(sw_en, sw_de, sw_es, sw_fr) / 0.3, 1.0)
+                   + CASE WHEN r.n_tokens = 0 THEN 0.0
+                          ELSE CAST(d.n_distinct AS DOUBLE) / r.n_tokens END
+               ) / 4, 4) AS quality
+        FROM ratios r JOIN alpha a ON r.doc_id = a.doc_id
+        JOIN distincts d ON r.doc_id = d.doc_id
+    """
+    # q53 wraps the q14 body (nested WITH in a subquery is fine in DuckDB)
+    # with the exact per-language rank + ceil(frac * size) keep rule.
+    q53_sql = f"""
+        WITH q AS ({q14_body}),
+        wl AS (
+            SELECT q.doc_id, d.lang, q.quality
+            FROM q JOIN documents d ON d.doc_id = q.doc_id
+        ),
+        sizes AS (SELECT lang, count(*) AS n FROM wl GROUP BY lang),
+        ranked AS (
+            SELECT doc_id, lang, quality,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY quality DESC, doc_id ASC) AS BIGINT)
+                   AS rank_in_group
+            FROM wl
+        )
+        SELECT r.doc_id, r.lang, r.quality, r.rank_in_group,
+               r.rank_in_group <= CAST(ceil(0.5 * s.n) AS BIGINT) AS kept
+        FROM ranked r JOIN sizes s ON s.lang = r.lang
+        ORDER BY r.doc_id
+    """
     return {
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -1673,28 +1735,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'de' END AS lang_pred
             FROM ratios
         """,
-        "q14_quality": lang_base + """
-            , alpha AS (
-                SELECT doc_id,
-                       len(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
-                       len(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace
-                FROM documents
-            ),
-            distincts AS (
-                SELECT doc_id, len(list_distinct(toks)) AS n_distinct FROM counted
-            )
-            SELECT r.doc_id, CAST(r.n_tokens AS INTEGER) AS n_tokens,
-                   round((
-                       least(r.n_tokens / 100.0, 1.0)
-                       + CASE WHEN a.n_nonspace = 0 THEN 0.0
-                              ELSE CAST(a.n_alpha AS DOUBLE) / a.n_nonspace END
-                       + least(greatest(sw_en, sw_de, sw_es, sw_fr) / 0.3, 1.0)
-                       + CASE WHEN r.n_tokens = 0 THEN 0.0
-                              ELSE CAST(d.n_distinct AS DOUBLE) / r.n_tokens END
-                   ) / 4, 4) AS quality
-            FROM ratios r JOIN alpha a ON r.doc_id = a.doc_id
-            JOIN distincts d ON r.doc_id = d.doc_id
-        """,
+        "q14_quality": q14_body,
         "q15_token_counts": """
             WITH base AS (
                 SELECT doc_id,
@@ -2189,4 +2230,5 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY f.cohort, "offset"
             ORDER BY f.cohort, "offset"
         """,
+        "q53_quality_prune": q53_sql,
     }

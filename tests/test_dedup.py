@@ -316,3 +316,32 @@ def test_decontaminate(spark):
     # doc 1: 9 tokens -> 5 distinct 5-grams, all in benchmark
     # doc 2: shares exactly "quick brown fox jumps over" (1 shingle)
     assert got == {1: (5, True), 2: (1, True), 3: (0, False), 4: (0, False)}
+
+
+def test_prune_by_quality_modes(spark):
+    """Exact mode keeps exactly ceil(frac * group size) per group with a
+    fully pinned tie order; the default approx-threshold mode agrees
+    with it on the same fixture (distinct quality values, so the
+    t-digest cut is exact and the boundary is unambiguous)."""
+    import math
+
+    from thesis_ner_co_tri_training_spark.operators.textstats import (
+        prune_by_quality)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = prune_by_quality(docs, keep_frac=0.5, exact=True).collect()
+    by_lang: dict[str, list] = {}
+    for r in exact:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        kept = [r for r in rows if r["kept"]]
+        assert len(kept) == math.ceil(0.5 * len(rows)), lang
+        # kept = exactly the rank prefix
+        assert {r["rank_in_group"] for r in kept} == set(
+            range(1, len(kept) + 1))
+    approx = {(r["doc_id"], r["kept"])
+              for r in prune_by_quality(docs, keep_frac=0.5).collect()}
+    n_match = sum((r["doc_id"], r["kept"]) in approx for r in exact)
+    # boundary ties between equal quality values may differ; everything
+    # else must agree
+    assert n_match >= len(exact) - 5

@@ -320,3 +320,50 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
             (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def prune_by_quality(docs: DataFrame, keep_frac: float = 0.5,
+                     group_col: str = "lang", id_col: str = "doc_id",
+                     text_col: str = "text", exact: bool = False) -> DataFrame:
+    """Quality-quantile corpus pruning: keep the top `keep_frac` of docs
+    by quality_score WITHIN each group (typically language, so one
+    dominant language cannot crowd out the rest of the mix). Returns
+    every doc as (id, group, quality, rank_in_group, kept).
+
+    exact=False (the default — the only shape that survives 100 TB):
+    the per-group keep threshold is the approx_percentile of quality
+    (a t-digest sketch: one partial-aggregable pass, no global sort),
+    broadcast back; kept = quality above the group's cut. Rank is not
+    materialized (a total per-group rank IS a per-group global sort —
+    one reducer per language at corpus scale).
+
+    exact=True (the oracle/contract path, q53): row_number over
+    (quality DESC, id ASC) per group — fully deterministic incl. tie
+    order — kept while rank <= ceil(keep_frac * group size). Correct at
+    thesis scale and for oracle comparison; documented NOT the default
+    because the window sorts each whole group on one reducer.
+    """
+    q = quality_score(docs, text_col).select(id_col, group_col, "quality")
+    if not exact:
+        cuts = q.groupBy(group_col).agg(
+            F.percentile_approx("quality", 1.0 - keep_frac).alias("__cut"))
+        return (
+            q.join(F.broadcast(cuts), group_col)
+            .select(id_col, group_col, "quality",
+                    (F.col("quality") >= F.col("__cut")).alias("kept"))
+        )
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(group_col)
+         .orderBy(F.col("quality").desc(), F.col(id_col).asc()))
+    sizes = q.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        q.withColumn("rank_in_group", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(sizes), group_col)
+        .select(
+            id_col, group_col, "quality", "rank_in_group",
+            (F.col("rank_in_group")
+             <= F.ceil(F.lit(float(keep_frac)) * F.col("__n")).cast("long")
+             ).alias("kept"),
+        )
+    )
