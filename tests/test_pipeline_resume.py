@@ -10,6 +10,7 @@ import os
 import shutil
 
 import pytest
+from pyspark.sql import functions as F
 
 from thesis_ner_co_tri_training_spark.plans.pipeline import run_pipeline
 from thesis_ner_co_tri_training_spark.sources import catalog
@@ -97,3 +98,41 @@ def test_edges_partition_pruning(spark, warehouse):
     assert m and "pred" in m.group(1), plan[:2000]
     # and the rows really are only that partition's
     assert {r["pred"] for r in df.select("pred").distinct().collect()} == {one_pred}
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed by the same key into the same bucket count
+    must join with ZERO Exchange in the physical plan (the shuffle was
+    paid once at write time) and return the same rows as the plain
+    shuffled join. This is the co-located-join contract write_bucketed
+    exists for."""
+    from thesis_ner_co_tri_training_spark.sources.catalog import (
+        write_bucketed)
+
+    # warehouse.dir is a static conf; place the tables via a database
+    # with an explicit LOCATION instead
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bjoin_db LOCATION '{tmp_path / 'wh'}'")
+    a = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(0, 5000, 3).select(
+        F.col("id").alias("k"), (F.col("id") + 7).alias("vb"))
+    try:
+        snap_a = write_bucketed(a, "bjoin_db.bjoin_a", bucket_by="k",
+                                buckets=8, sort_by="k")
+        snap_b = write_bucketed(b, "bjoin_db.bjoin_b", bucket_by="k",
+                                buckets=8, sort_by="k")
+        assert snap_a["row_count"] == 5000 and snap_b["buckets"] == 8
+        ta = spark.table("bjoin_db.bjoin_a")
+        tb = spark.table("bjoin_db.bjoin_b")
+        # below the broadcast threshold Spark would broadcast and hide
+        # the point; force the merge-join path to show bucketing works
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = ta.join(tb, "k").select("k", "va", "vb")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        rows = {(r["k"], r["va"], r["vb"]) for r in joined.collect()}
+        assert rows == {(k, 2 * k, k + 7) for k in range(0, 5000, 3)}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql("DROP DATABASE IF EXISTS bjoin_db CASCADE")

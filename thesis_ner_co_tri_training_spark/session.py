@@ -57,6 +57,13 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes",
                 os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(2 * 1024 * 1024)))
         .config("spark.sql.files.openCostInBytes", str(64 * 1024))
+        # saveAsTable (bucketed tables) default placement: keep managed
+        # tables out of the process cwd (static conf — must be set here,
+        # not at runtime). catalog.write_bucketed callers can still place
+        # tables explicitly via CREATE DATABASE ... LOCATION.
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE",
+                               "/tmp/spark_sql_warehouse"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

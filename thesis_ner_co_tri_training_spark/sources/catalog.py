@@ -111,3 +111,48 @@ def latest_snapshot(warehouse: str, table: str) -> dict[str, Any] | None:
         return None
     with open(os.path.join(meta, snaps[-1])) as fh:
         return json.load(fh)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: str,
+    buckets: int = 16,
+    sort_by: str | None = None,
+    stage_params: dict[str, Any] | None = None,
+) -> dict[str, Any]:
+    """Bucketed table write (`bucketBy` + `saveAsTable`) for co-located
+    joins: two tables bucketed by the same key into the same bucket
+    count join WITHOUT any Exchange — each task zips bucket i with
+    bucket i (plus at most a sort, elided too when both sides are
+    sortBy'd). That is the hash-partitioned-storage contract Iceberg's
+    bucket partition transform provides on a real cluster; Spark's
+    session catalog provides it locally, with spark.sql.warehouse.dir
+    deciding placement. The join-side proof is
+    test_pipeline_resume.test_bucketed_join_has_no_exchange.
+
+    Use for the big fact tables that meet repeatedly on one key across
+    a pipeline (edges/mentions on entity or doc id): the shuffle is
+    paid ONCE at write, every downstream same-key join/agg reads it
+    back pre-partitioned.
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, bucket_by)
+    )
+    if sort_by:
+        writer = writer.sortBy(sort_by)
+    t0 = time.time()
+    writer.saveAsTable(table)
+    elapsed = time.time() - t0
+    back = df.sparkSession.table(table)
+    return {
+        "table": table,
+        "bucket_by": bucket_by,
+        "buckets": buckets,
+        "sort_by": sort_by,
+        "row_count": back.count(),
+        "write_seconds": round(elapsed, 3),
+        "params": stage_params or {},
+    }
