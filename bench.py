@@ -91,10 +91,17 @@ def best_of(runs: int) -> int:
         env = dict(os.environ, BENCH_SINGLE="1")
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         )
-        line = proc.stdout.decode().strip().splitlines()[-1]
-        results.append(json.loads(line))
+        out_lines = proc.stdout.decode().strip().splitlines()
+        if proc.returncode != 0 or not out_lines:
+            # surface the child's actual failure instead of dying on an
+            # IndexError with the diagnostics thrown away
+            tail = proc.stderr.decode(errors="replace")[-2000:]
+            raise RuntimeError(
+                f"bench child run {i + 1}/{runs} failed "
+                f"(rc={proc.returncode}); stderr tail:\n{tail}")
+        results.append(json.loads(out_lines[-1]))
         print(f"run {i + 1}/{runs}: value={results[-1]['value']} "
               f"(loadavg at start {loads[-1]})", file=sys.stderr)
     best = min(results, key=lambda r: r["value"])

@@ -72,6 +72,16 @@ def test_fast_scanner_equals_parser_on_corpus_and_adversarial():
         "<p", "</p", "text < other > text", "<>", "</>", "<p\n\tclass=x>nl</p>",
         "tail<p>block", "<ul><li>i1<li>i2</ul>", "&uuml;ber <b>bold</b>",
         '<p title="a&amp;b">c</p>', "<div><p>nested</p></div>",
+        # review-found divergence shapes (both fixed by the strict attr
+        # grammar + glue-aware self-closing rule — must bail or match):
+        "<script src=x.js/>body</script>after",  # '/' glues to bare value
+        "<noscript data=x/>hidden</noscript>shown",
+        "a<b 't='c>b",                    # quote-glued token: parser
+        "<p 'x'>t", "<p =x>t",            # rejects tag, emits literally
+        "<a href=/>x",                    # '/' IS the bare value
+        "<a href='q'/>y", "<div/>a<script/>b</script>c",
+        "<p a=1/2>q</p>",                 # '/' inside a bare value
+        "</p junk>tail", "</p/>tail",     # end tags with junk
     ]
     for h in cases:
         fast = _extract_fast(h)

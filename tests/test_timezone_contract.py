@@ -45,6 +45,8 @@ TEMPORAL_QUERIES = [
     "q41_asof_join",         # backward as-of on ts, gap in the output
     "q43_funnel",            # first-completion ts columns in the output
     "q44_rollup",            # hour(ts) grouping key
+    "q51_range_join",        # bucketized interval join, ts outputs
+    "q52_cohort_retention",  # date_trunc('week') cohorts + day diffs
 ]
 
 

@@ -83,13 +83,21 @@ class _TextExtractor(HTMLParser):
 # quotes) leaves a '<' behind or fails validation and routes the whole
 # document to the stdlib parser.
 _FAST_TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[\t\n\r\f ][^<>]*)?)/?>")
-# attrs are whitespace-separated runs where every quote opens a balanced
-# quoted value with no '<'/'>' inside. If the tag regex stopped at a '>'
-# INSIDE a quoted value, the captured attrs end with an unclosed quote and
-# this fullmatch fails -> fallback. If it passes, HTMLParser would end the
-# tag at the same '>' and emit the same start/end events.
+# attrs must be the WELL-FORMED subset — `name`, `name="v"`, `name='v'`
+# or `name=bare` runs — on which HTMLParser's tolerant grammar provably
+# produces the same start/end events. Everything even slightly weird
+# (quotes glued to bare chars, '=' or '/' inside a bare value, a quote
+# opening anywhere but right after '=') fails the fullmatch and routes
+# the whole document to the stdlib parser: 3.11's tolerant attr scan
+# either swallows such junk into values (shifting the tag end) or
+# rejects the tag wholesale and emits it as literal data — both
+# diverging from any simple scanner. Bare values exclude '/' so a
+# trailing '/' can never be value-glue on a path that passes.
 _FAST_ATTRS_OK = re.compile(
-    "(?:[\t\n\r\f ]+(?:\"[^\"<>]*\"|'[^'<>]*'|[^\\s<>\"'])*)*"
+    r"(?:[\t\n\r\f ]+[a-zA-Z_:][-a-zA-Z0-9_:.]*"
+    r"(?:[\t\n\r\f ]*=[\t\n\r\f ]*"
+    r"(?:\"[^\"<>]*\"|'[^'<>]*'|[^\t\n\r\f <>\"'`=/]+))?"
+    r")*[\t\n\r\f ]*"
 )
 
 
@@ -131,10 +139,28 @@ def _extract_fast(html_doc: str) -> str | None:
         if m is None:
             break
         name = m.group(2).lower()
-        if not _FAST_ATTRS_OK.fullmatch(m.group(3)):
-            return None
         closing = m.group(1) == "/"
-        startend = not closing and m.group(0).endswith("/>")
+        attrs = m.group(3)
+        startend = False
+        if not closing and m.group(0).endswith("/>"):
+            if attrs.endswith("/"):
+                # the greedy attrs capture ate the slash: HTMLParser only
+                # treats it as self-closing when it CANNOT glue to a bare
+                # attr value — i.e. after whitespace, a closing quote, or
+                # nothing; after a bare char (src=x.js/>) the tolerant
+                # scan swallows it into the value and the tag is a plain
+                # start tag. Not provable locally -> stdlib parser.
+                attrs = attrs[:-1]
+                if attrs and attrs[-1] not in "\t\n\r\f \"'":
+                    return None
+            startend = True
+        if closing:
+            # an end tag carrying anything but whitespace takes
+            # HTMLParser's bogus-endtag paths; not worth proving
+            if attrs.strip():
+                return None
+        elif not _FAST_ATTRS_OK.fullmatch(attrs):
+            return None
         if closing:
             if name in _SKIP_TAGS and skip_depth > 0:
                 skip_depth -= 1

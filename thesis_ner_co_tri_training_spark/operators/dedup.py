@@ -368,13 +368,20 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
                           else probe_side.unionByName(p_side))
             exact_side = (e_side if exact_side is None
                           else exact_side.unionByName(e_side))
+        # probes=0: both sides are identical, so the asymmetric < join
+        # produces each colliding pair exactly once. With probing the
+        # sides differ and either member may be the prober, so the join
+        # must be symmetric (!=) with least/greatest restoring canonical
+        # (a < b) orientation — at 2x pre-distinct volume, which is why
+        # the non-probing default keeps the cheap form.
+        on = (F.col("cl.band") == F.col("cr.band")) & (
+            F.col("cl.bucket") == F.col("cr.bucket"))
+        if probes > 0:
+            on = on & (F.col(f"cl.{id_col}") != F.col(f"cr.{id_col}"))
+        else:
+            on = on & (F.col(f"cl.{id_col}") < F.col(f"cr.{id_col}"))
         cand = (
-            probe_side.alias("cl").join(
-                exact_side.alias("cr"),
-                (F.col("cl.band") == F.col("cr.band"))
-                & (F.col("cl.bucket") == F.col("cr.bucket"))
-                & (F.col(f"cl.{id_col}") != F.col(f"cr.{id_col}")),
-            )
+            probe_side.alias("cl").join(exact_side.alias("cr"), on)
             .select(
                 F.least(F.col(f"cl.{id_col}"),
                         F.col(f"cr.{id_col}")).alias("__a"),

@@ -309,16 +309,6 @@ def cosines_from_counts(c1: dict, c2: dict, c3: dict) -> tuple[float, float, flo
             cosine_from_counts(c1, c3))
 
 
-def view_cosines(t1: list[str], t2: list[str], t3: list[str]) -> tuple[float, float, float]:
-    """(cos12, cos23, cos13) — ROTATIONS order — building each view's
-    bag-of-tags count dict ONCE instead of twice (cosine_similarity would
-    recount both sides per pair: 6 dict builds; this does 3). Same code
-    path as the oracle's cosine_similarity (tag_counts_py +
-    cosine_from_counts), so bit-identical by construction."""
-    return cosines_from_counts(tag_counts_py(t1), tag_counts_py(t2),
-                               tag_counts_py(t3))
-
-
 def tag_sentences_df(sentences: DataFrame, passthrough: list[str] | None = None,
                      flat: bool = False) -> DataFrame:
     """(url, sent_id, text) -> (url, sent_id, tokens, v1/v2/v3_preds).
