@@ -33,6 +33,11 @@ _SOUP = st.lists(
             "<span a=\"1\">", "</span>", "<script>", "</script>",
             "<!-- c -->", "&amp;", "&am", "p;", "&#65;", "&uuml;",
             "<p a=\">\">", "<my-tag>", "< p", "<3", "<ul><li>x",
+            # glue-prone shapes (the two review-found divergence classes:
+            # '/' swallowed into a bare value; quote-glued attr tokens)
+            "<script src=x.js/>", "<p a=1/2>", "<a href=/>", "src=",
+            "'t='c", "<b 't='c>", "<p 'x'>", "<p =x>", "</p junk>",
+            "/>", "='", "\"y\"/", "<noscript x=y/>",
         ]),
     ),
     max_size=12,
