@@ -1132,6 +1132,23 @@ def q53_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q54_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (plans/graph.triangle_count — degree-
+    ordered edge orientation so each triangle materializes once and the
+    wedge join's per-key fan-out is the oriented out-degree, O(sqrt m)
+    under degree ordering) over the q22 entity graph plus the q30 doc
+    graph (disjoint node spaces: entity surfaces vs zero-padded doc
+    ids), so the output covers both a dense clique-like region and a
+    triangle-free chain region. Oracle: canonical a<b edge list,
+    3-way self-join, per-corner counts."""
+    from thesis_ner_co_tri_training_spark.plans.graph import triangle_count
+
+    ent = q22_triples(spark, sf_dir).select(
+        F.col("subj").alias("a"), F.col("obj").alias("b"))
+    edges = ent.unionByName(_doc_graph_edges(spark, sf_dir))
+    return triangle_count(edges, src="a", dst="b").orderBy("node")
+
+
 def q52_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention over events (operators/events.
     cohort_retention): users bucketed by the Monday-start week of their
@@ -1204,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_range_join": q51_range_join,
         "q52_cohort_retention": q52_cohort_retention,
         "q53_quality_prune": q53_quality_prune,
+        "q54_triangles": q54_triangles,
     }
 
 
@@ -2231,4 +2249,42 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY f.cohort, "offset"
         """,
         "q53_quality_prune": q53_sql,
+        "q54_triangles": f"""
+            WITH t AS MATERIALIZED ({_Q22_SQL}),
+            docg AS MATERIALIZED (
+                SELECT lpad(CAST(x.doc_id AS VARCHAR), 8, '0') AS a,
+                       lpad(CAST(x.doc_id + 1 AS VARCHAR), 8, '0') AS b
+                FROM documents x
+                WHERE x.doc_id % 7 <> 6 AND EXISTS
+                    (SELECT 1 FROM documents i WHERE i.doc_id = x.doc_id + 1)
+                UNION ALL
+                SELECT lpad(CAST(x.doc_id AS VARCHAR), 8, '0'),
+                       lpad(CAST(x.doc_id + 13 AS VARCHAR), 8, '0')
+                FROM documents x
+                WHERE x.doc_id % 50 = 0 AND EXISTS
+                    (SELECT 1 FROM documents i WHERE i.doc_id = x.doc_id + 13)
+            ),
+            raw AS (SELECT subj AS a, obj AS b FROM t
+                    UNION ALL SELECT a, b FROM docg),
+            c AS MATERIALIZED (
+                SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+                FROM raw WHERE a <> b
+            ),
+            nodes AS (SELECT a AS node FROM c UNION SELECT b FROM c),
+            tri AS MATERIALIZED (
+                SELECT e1.a AS u, e1.b AS v, e2.b AS w
+                FROM c e1
+                JOIN c e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN c e3 ON e3.a = e1.b AND e3.b = e2.b
+            ),
+            corners AS (
+                SELECT u AS node FROM tri
+                UNION ALL SELECT v FROM tri
+                UNION ALL SELECT w FROM tri
+            ),
+            cnt AS (SELECT node, count(*) AS n FROM corners GROUP BY node)
+            SELECT n.node, CAST(coalesce(c2.n, 0) AS BIGINT) AS n_triangles
+            FROM nodes n LEFT JOIN cnt c2 ON c2.node = n.node
+            ORDER BY n.node
+        """,
     }

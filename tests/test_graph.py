@@ -137,3 +137,48 @@ def test_k_hop_fan_in_and_min_hops(spark):
     got2 = _khop_dict(k_hop(df, src2, k=1))
     assert got2 == oracle_k_hop(edges, ["b", "c"], 1)
     assert got2["d"] == (1, 2)
+
+
+def oracle_triangles(edges):
+    """Brute-force per-node triangle counts on the simple undirected
+    graph (self loops and duplicate/reverse edges collapsed)."""
+    from itertools import combinations
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({x for e in und for x in e})
+    adj = {v: set() for v in nodes}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    out = {v: 0 for v in nodes}
+    for u, v, w in combinations(nodes, 3):
+        if v in adj[u] and w in adj[u] and w in adj[v]:
+            out[u] += 1
+            out[v] += 1
+            out[w] += 1
+    return out
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Degree-ordered triangle counting vs brute force on a seeded random
+    graph with planted cliques (hub skew + duplicate/reverse/self edges
+    in the input), plus a triangle-free chain staying all-zero."""
+    import random
+
+    from thesis_ner_co_tri_training_spark.plans.graph import triangle_count
+
+    rng = random.Random(5)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(120)]
+    edges += [(0, i) for i in range(1, 20)]        # hub
+    for clique in ([40, 41, 42, 43], [50, 51, 52]):  # planted triangles
+        edges += [(a, b) for a in clique for b in clique if a < b]
+    edges += [(e[1], e[0]) for e in edges[:30]]    # reverse dups
+    df = spark.createDataFrame(edges, "subj_id long, obj_id long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == oracle_triangles(edges)
+    assert got[40] == 3 and got[50] >= 1           # planted cliques found
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "subj_id long, obj_id long")
+    assert all(r["n_triangles"] == 0
+               for r in triangle_count(chain).collect())
