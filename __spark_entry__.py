@@ -1149,6 +1149,28 @@ def q54_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges, src="a", dst="b").orderBy("node")
 
 
+def q55_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the events.props JSON column
+    with a declared schema (from_json — Catalyst-native, no UDF; the
+    parse prunes to the single requested field), filter on the
+    extracted value, and aggregate exact integers per event_type.
+    Oracle: DuckDB's JSON path extraction."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k BIGINT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q52_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention over events (operators/events.
     cohort_retention): users bucketed by the Monday-start week of their
@@ -1222,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_cohort_retention": q52_cohort_retention,
         "q53_quality_prune": q53_quality_prune,
         "q54_triangles": q54_triangles,
+        "q55_json_props": q55_json_props,
     }
 
 
@@ -2286,5 +2309,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.node, CAST(coalesce(c2.n, 0) AS BIGINT) AS n_triangles
             FROM nodes n LEFT JOIN cnt c2 ON c2.node = n.node
             ORDER BY n.node
+        """,
+        "q55_json_props": """
+            WITH x AS (
+                SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k
+                FROM events
+            )
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   min(k) AS min_k, max(k) AS max_k
+            FROM x WHERE k >= 50
+            GROUP BY event_type ORDER BY event_type
         """,
     }
