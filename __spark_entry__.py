@@ -1149,6 +1149,22 @@ def q54_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges, src="a", dst="b").orderBy("node")
 
 
+def q56_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (plans/graph.pagerank_fixedpoint with a
+    teleport source set): relevance of every entity relative to the two
+    lexicographically smallest subjects of the q22 triple graph, 10
+    integer power iterations — teleport and dangling mass go to the
+    seed set only, all sums order-independent BIGINTs, so the full loop
+    is DuckDB-oracled like q47."""
+    from thesis_ner_co_tri_training_spark.plans.graph import (
+        pagerank_fixedpoint)
+
+    e = q22_triples(spark, sf_dir).select("subj", "obj")
+    srcs = e.select("subj").distinct().orderBy("subj").limit(2)
+    return pagerank_fixedpoint(e, iterations=10, src="subj", dst="obj",
+                               sources=srcs).orderBy("node")
+
+
 def q55_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: parse the events.props JSON column
     with a declared schema (from_json — Catalyst-native, no UDF; the
@@ -1245,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_quality_prune": q53_quality_prune,
         "q54_triangles": q54_triangles,
         "q55_json_props": q55_json_props,
+        "q56_personalized_pagerank": q56_personalized_pagerank,
     }
 
 
@@ -1483,6 +1500,46 @@ def _q50_sql(n: int = 5, bench_mod: int = 97) -> str:
         FROM documents doc LEFT JOIN hits h ON h.doc_id = doc.doc_id
         ORDER BY doc.doc_id
     """
+
+
+def _q56_sql(iters: int = 10, scale: int = 10**12) -> str:
+    """Personalized-PageRank oracle: the q47 unrolled recurrence with the
+    teleport/dangling terms gated on source-set membership (the two
+    lexicographically smallest subjects). MATERIALIZED throughout for
+    the same exponential-inlining reason as _q47_sql."""
+    base = (15 * scale) // 100
+    m = "AS MATERIALIZED"
+    ctes = [
+        f"t {m} ({_Q22_SQL})",
+        f"e {m} (SELECT DISTINCT subj AS src, obj AS dst FROM t)",
+        f"s {m} (SELECT DISTINCT subj AS node FROM t ORDER BY subj LIMIT 2)",
+        f"nodes {m} (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"nf {m} (SELECT n.node, (s.node IS NOT NULL) AS in_s "
+        f"FROM nodes n LEFT JOIN s ON s.node = n.node)",
+        f"mm {m} (SELECT count(*) AS m FROM nf WHERE in_s)",
+        f"od {m} (SELECT src, count(*) AS deg FROM e GROUP BY src)",
+        f"r0 {m} (SELECT node, CASE WHEN in_s THEN {scale} // mm.m "
+        f"ELSE 0 END AS rank FROM nf, mm)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(
+            f"d{k} {m} (SELECT coalesce(sum(r.rank), 0) AS dm FROM r{p} r "
+            f"LEFT JOIN od ON od.src = r.node WHERE od.src IS NULL)")
+        ctes.append(
+            f"c{k} {m} (SELECT e.dst AS node, sum(r.rank // od.deg) AS s "
+            f"FROM e JOIN r{p} r ON r.node = e.src "
+            f"JOIN od ON od.src = e.src GROUP BY e.dst)")
+        ctes.append(
+            f"r{k} {m} (SELECT n.node, "
+            f"CASE WHEN n.in_s THEN {base} // mm.m ELSE 0 END + "
+            f"(85 * (coalesce(c.s, 0) + "
+            f"CASE WHEN n.in_s THEN d.dm // mm.m ELSE 0 END)) // 100 AS rank "
+            f"FROM nf n LEFT JOIN c{k} c ON c.node = n.node "
+            f"CROSS JOIN d{k} d CROSS JOIN mm)")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r{iters} "
+              "ORDER BY node")
 
 
 def _q37_sql(bits: int = 60) -> str:
@@ -2321,4 +2378,5 @@ def oracle_sql() -> dict[str, str]:
             FROM x WHERE k >= 50
             GROUP BY event_type ORDER BY event_type
         """,
+        "q56_personalized_pagerank": _q56_sql(),
     }

@@ -182,3 +182,46 @@ def test_triangle_count_matches_bruteforce(spark):
         [(i, i + 1) for i in range(20)], "subj_id long, obj_id long")
     assert all(r["n_triangles"] == 0
                for r in triangle_count(chain).collect())
+
+
+def oracle_ppr_fixedpoint(edges, srcs, iters=10, scale=10**12):
+    """Integer personalized-PageRank oracle: teleport + dangling mass to
+    the source set only (uniform over members in the graph)."""
+    nodes = sorted({x for e in edges for x in e})
+    s = [v for v in nodes if v in set(srcs)]
+    m = len(s)
+    out = {}
+    for a, _ in set(edges):
+        out[a] = out.get(a, 0) + 1
+    base = (15 * scale // 100) // m
+    rank = {v: (scale // m if v in s else 0) for v in nodes}
+    for _ in range(iters):
+        in_sum = {v: 0 for v in nodes}
+        for a, b in set(edges):
+            in_sum[b] += rank[a] // out[a]
+        dangling = sum(rank[v] for v in nodes if v not in out)
+        dshare = dangling // m
+        rank = {
+            v: (base if v in s else 0)
+            + (85 * (in_sum[v] + (dshare if v in s else 0))) // 100
+            for v in nodes
+        }
+    return rank
+
+
+def test_personalized_pagerank_fixedpoint(spark, edges_df):
+    from thesis_ner_co_tri_training_spark.plans.graph import (
+        pagerank_fixedpoint)
+
+    srcs = spark.createDataFrame([("a",), ("zzz_not_in_graph",)],
+                                 "node string")
+    got = {r["node"]: r["rank"]
+           for r in pagerank_fixedpoint(edges_df, iterations=10,
+                                        sources=srcs).collect()}
+    assert got == oracle_ppr_fixedpoint(EDGES, ["a"], iters=10)
+    # mass concentrates at/downstream of the seed, not its inverse image
+    assert got["a"] > 0 and max(got.values()) > 0
+    # sources=None must remain byte-identical to the global twin
+    glob = {r["node"]: r["rank"]
+            for r in pagerank_fixedpoint(edges_df, iterations=10).collect()}
+    assert glob == oracle_pagerank_fixedpoint(EDGES, iters=10)

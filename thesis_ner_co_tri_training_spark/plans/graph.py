@@ -99,7 +99,8 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
 def pagerank_fixedpoint(edges: DataFrame, iterations: int = 10,
                         src: str = "subj_id", dst: str = "obj_id",
                         scale: int = 10**12,
-                        checkpoint_every: int = 5) -> DataFrame:
+                        checkpoint_every: int = 5,
+                        sources: DataFrame | None = None) -> DataFrame:
     """Deterministic integer-scaled PageRank twin of `pagerank` above.
 
     Ranks are BIGINTs in units of 1/scale; d = 0.85 is the exact rational
@@ -112,6 +113,13 @@ def pagerank_fixedpoint(edges: DataFrame, iterations: int = 10,
     contribution join + aggregate, one dangling-mass aggregate (a single
     scalar to the driver), one rank rebuild. Duplicate (src, dst) edges
     are collapsed — the contract is over the simple directed graph.
+
+    `sources` switches to PERSONALIZED PageRank: the teleport (base)
+    term and the dangling mass go uniformly to the source set only,
+    and the initial rank is uniform over the sources. Same
+    per-iteration shuffle shape plus one broadcast membership flag —
+    relevance relative to a seed entity set, the standard KG
+    relatedness primitive.
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -121,14 +129,35 @@ def pagerank_fixedpoint(edges: DataFrame, iterations: int = 10,
     )
     nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct()
+    if sources is None:
+        nodes = nodes.withColumn("in_s", F.lit(True))
+    else:
+        s_df = sources.select(
+            F.col(sources.columns[0]).alias("node")).distinct()
+        nodes = nodes.join(
+            F.broadcast(s_df.withColumn("in_s", F.lit(True))),
+            "node", "left",
+        ).select("node", F.coalesce("in_s", F.lit(False)).alias("in_s"))
+    nodes = nodes.localCheckpoint(eager=True)
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0).cast("long"))
+        return nodes.select("node").withColumn(
+            "rank", F.lit(0).cast("long"))
+    # teleport population: every node (global) or the source members
+    m = n if sources is None else nodes.filter("in_s").count()
+    if m == 0:
+        raise ValueError(
+            "personalized pagerank: no source node is in the graph")
 
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    base = (15 * scale // 100) // n
-    ranks = nodes.withColumn("rank", F.lit(scale // n).cast("long"))
+    base = (15 * scale // 100) // m
+    in_s = F.col("in_s")
+    ranks = nodes.select(
+        "node",
+        F.when(in_s, F.lit(scale // m)).otherwise(F.lit(0))
+        .cast("long").alias("rank"),
+    )
     for i in range(iterations):
         contrib = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -143,17 +172,18 @@ def pagerank_fixedpoint(edges: DataFrame, iterations: int = 10,
             .agg(F.coalesce(F.sum("rank"), F.lit(0)))
             .collect()[0][0]
         )
-        dshare = int(dangling) // n
+        dshare = int(dangling) // m
         ranks = (
             nodes.join(contrib, "node", "left")
             .withColumn(
                 "in_total",
                 F.coalesce(F.col("in_sum"), F.lit(0)).cast("long")
-                + F.lit(dshare),
+                + F.when(in_s, F.lit(dshare)).otherwise(F.lit(0)),
             )
             .select(
                 "node",
-                (F.lit(base) + F.expr("(85 * in_total) DIV 100"))
+                (F.when(in_s, F.lit(base)).otherwise(F.lit(0))
+                 + F.expr("(85 * in_total) DIV 100"))
                 .cast("long").alias("rank"),
             )
         )
