@@ -1165,6 +1165,26 @@ def q56_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                                sources=srcs).orderBy("node")
 
 
+def q57_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus assembly to a 10k-token budget
+    (selection.fill_token_budget): docs ordered by a pure md5 fate of
+    (doc_id, seed), kept while the cumulative token count starts below
+    the budget — retry/partitioning-stable, unlike any rand() order.
+    Token counts come from the q15 whitespace tokenizer."""
+    from thesis_ner_co_tri_training_spark.operators.selection import (
+        fill_token_budget)
+    from thesis_ner_co_tri_training_spark.operators.textstats import (
+        token_counts)
+
+    docs = token_counts(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens")
+    return (
+        fill_token_budget(docs, budget=10_000)
+        .select("doc_id", "n_tokens", "cum_tokens", "kept")
+        .orderBy("doc_id")
+    )
+
+
 def q55_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: parse the events.props JSON column
     with a declared schema (from_json — Catalyst-native, no UDF; the
@@ -1262,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_triangles": q54_triangles,
         "q55_json_props": q55_json_props,
         "q56_personalized_pagerank": q56_personalized_pagerank,
+        "q57_token_budget": q57_token_budget,
     }
 
 
@@ -2379,4 +2400,30 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY event_type ORDER BY event_type
         """,
         "q56_personalized_pagerank": _q56_sql(),
+        "q57_token_budget": """
+            WITH base AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(
+                           string_split(lower(trim(text)), ' '),
+                           t -> t <> '')) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            fated AS (
+                SELECT doc_id, n_tokens,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|42'),
+                                       1, 15))::BIGINT AS fate
+                FROM base
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(sum(n_tokens) OVER (
+                           ORDER BY fate, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cum_tokens
+                FROM fated
+            )
+            SELECT doc_id, n_tokens, cum_tokens,
+                   (cum_tokens - n_tokens) < 10000 AS kept
+            FROM c ORDER BY doc_id
+        """,
     }

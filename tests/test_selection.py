@@ -247,3 +247,30 @@ def test_salted_agg_matches_plain(spark):
     assert got == want
     # the null-skipping distinction is actually exercised
     assert any(t[0] != t[1] for t in got.values())
+
+
+def test_fill_token_budget(spark):
+    """Budget prefix semantics: kept docs = the md5-fate-ordered prefix
+    whose cumulative count STARTS below the budget (so the budget is
+    first exceeded by at most one doc); rerunning under a different
+    partitioning keeps the SAME docs (the whole point vs rand())."""
+    from thesis_ner_co_tri_training_spark.operators.selection import (
+        fill_token_budget)
+
+    rows = [(i, 10 + (i % 7)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+    out = fill_token_budget(df, budget=200).collect()
+    kept = sorted(r["doc_id"] for r in out if r["kept"])
+    total = sum(r["n_tokens"] for r in out if r["kept"])
+    over = total - 200
+    assert 0 <= over < 17          # exceeded by at most one doc
+    # dropping any kept doc dips below budget -> prefix is minimal
+    assert total - min(r["n_tokens"] for r in out if r["kept"]) < 200
+    # partitioning-independence
+    kept2 = sorted(
+        r["doc_id"]
+        for r in fill_token_budget(df.repartition(7), budget=200).collect()
+        if r["kept"])
+    assert kept2 == kept
+    # full-budget keeps everything
+    assert all(r["kept"] for r in fill_token_budget(df, budget=10**9).collect())

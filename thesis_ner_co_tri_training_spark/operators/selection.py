@@ -402,3 +402,44 @@ def salted_agg(df: DataFrame, key: str | list[str],
         merge[how](f"__p_{c}_{how}").alias(f"{how}_{c}")
         for c, how in items
     ])
+
+
+def fill_token_budget(df: DataFrame, budget: int,
+                      tokens_col: str = "n_tokens",
+                      key_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Deterministic corpus assembly to a token budget: order docs by a
+    pure md5 fate of (key, seed) and keep the prefix whose cumulative
+    token count still STARTS below the budget (so the budget is filled
+    and first exceeded by at most one doc — the standard "take docs
+    until the budget is full" semantic). Returns every row with
+    (cum_tokens, kept); downstream filters on kept.
+
+    Determinism has mix_corpus's rationale: sample()/rand() orderings
+    move with partition layout, an md5 fate is stable across engines,
+    retries and repartitionings — rerunning the job assembles the SAME
+    corpus. Ties in the fate are broken by the key itself, so the
+    prefix is total-ordered even on hash collisions.
+
+    Scale shape: the cumulative sum is a single bare window over the
+    fate order — a global sort. That is the semantic ("one global
+    priority order"), not an implementation accident; at 100 TB use
+    range partitioning on the fate (Spark's sort does exactly this) —
+    the window itself is the only single-direction dependency and
+    carries one long per row.
+    """
+    from ..functions.hashutil import md5_long
+
+    fate = md5_long(F.col(key_col).cast("string"), F.lit(str(seed)))
+    w = (Window.orderBy(F.col("__fate"), F.col(key_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        df.withColumn("__fate", fate)
+        .withColumn("cum_tokens",
+                    F.sum(F.col(tokens_col).cast("long")).over(w))
+        .withColumn(
+            "kept",
+            (F.col("cum_tokens") - F.col(tokens_col).cast("long"))
+            < F.lit(int(budget)),
+        )
+        .drop("__fate")
+    )
