@@ -420,26 +420,51 @@ def fill_token_budget(df: DataFrame, budget: int,
     corpus. Ties in the fate are broken by the key itself, so the
     prefix is total-ordered even on hash collisions.
 
-    Scale shape: the cumulative sum is a single bare window over the
-    fate order — a global sort. That is the semantic ("one global
-    priority order"), not an implementation accident; at 100 TB use
-    range partitioning on the fate (Spark's sort does exactly this) —
-    the window itself is the only single-direction dependency and
-    carries one long per row.
+    Scale shape — a DISTRIBUTED prefix sum, not a bare global window
+    (which would drag the whole corpus through one reducer): range-
+    partition by (fate, key), cumsum WITHIN each sorted partition, add
+    per-partition offsets computed from one #partitions-row aggregate
+    (the shuffled_with_position pattern — the only driver action is
+    that bounded offset map). Identical values to the global window by
+    construction: range partitioning makes the partition order the
+    global order.
     """
     from ..functions.hashutil import md5_long
 
+    spark = df.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     fate = md5_long(F.col(key_col).cast("string"), F.lit(str(seed)))
-    w = (Window.orderBy(F.col("__fate"), F.col(key_col))
+    # localCheckpoint freezes the range partitioning so the offsets pass
+    # and the cumsum pass see the same partition ids
+    ranged = (
+        df.withColumn("__fate", fate)
+        .repartitionByRange(npart, F.col("__fate"), F.col(key_col))
+        .localCheckpoint(eager=True)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    totals = (
+        ranged.groupBy("__pid")
+        .agg(F.sum(F.col(tokens_col).cast("long")).alias("t"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for r in sorted(totals, key=lambda r: r["__pid"]):
+        offsets.append((r["__pid"], acc))
+        acc += int(r["t"])
+    off_df = spark.createDataFrame(offsets, "__pid int, __off long")
+    w = (Window.partitionBy("__pid")
+         .orderBy(F.col("__fate"), F.col(key_col))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (
-        df.withColumn("__fate", fate)
-        .withColumn("cum_tokens",
-                    F.sum(F.col(tokens_col).cast("long")).over(w))
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            "cum_tokens",
+            F.sum(F.col(tokens_col).cast("long")).over(w) + F.col("__off"),
+        )
         .withColumn(
             "kept",
             (F.col("cum_tokens") - F.col(tokens_col).cast("long"))
             < F.lit(int(budget)),
         )
-        .drop("__fate")
+        .drop("__fate", "__pid", "__off")
     )
