@@ -1224,6 +1224,85 @@ def q52_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(ev).orderBy("cohort", "offset")
 
 
+def q58_bm25_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword extraction (textstats.bm25_term_scores +
+    top_terms_per_doc): top-3 terms per doc by BM25, df_t >= 2,
+    deterministic (score DESC, term ASC) tie order. Contract uses
+    idf="rational" — the ln-free monotone idf — so every hashed double
+    is a +,-,*,/ composition of identical integer operands on both
+    engines (ln is not correctly-rounded-guaranteed across libms; the
+    engine default keeps ln, rank-identical by monotonicity)."""
+    from thesis_ner_co_tri_training_spark.operators.textstats import (
+        bm25_term_scores, top_terms_per_doc)
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = bm25_term_scores(docs, k1=1.2, b=0.75, idf="rational")
+    return (
+        top_terms_per_doc(scored, k=3, min_df=2)
+        .select("doc_id", "term", "tf", "dl", "df_t", "idf", "score", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
+def _q58_sql(k1: float = 1.2, b: float = 0.75) -> str:
+    # Float literals come from repr() of the SAME Python-computed doubles
+    # the Spark side embeds via F.lit (k1+1.0 etc.) — shortest-roundtrip
+    # decimals parse back to bit-identical doubles. Every literal is
+    # ::DOUBLE-cast: DuckDB parses bare decimal literals as DECIMAL and
+    # the decimal intermediates round differently (last-ulp score
+    # mismatch without the casts).
+    k1p1 = f"{k1 + 1.0!r}::DOUBLE"
+    k1r = f"{k1!r}::DOUBLE"
+    omb = f"{1.0 - b!r}::DOUBLE"
+    br = f"{b!r}::DOUBLE"
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(trim(text)), ' '),
+                               t -> t <> '') AS toks
+            FROM documents
+        ),
+        terms AS (
+            SELECT doc_id, unnest(toks) AS term, len(toks) AS dl FROM base
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+                   CAST(min(dl) AS BIGINT) AS dl
+            FROM terms GROUP BY doc_id, term
+        ),
+        dft AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS df_t
+            FROM tf GROUP BY term
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(toks)) AS BIGINT) AS total_tokens
+            FROM base
+        ),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, tf.dl, dft.df_t,
+                   (s.n_docs - dft.df_t + 0.5::DOUBLE)
+                     / (dft.df_t + 0.5::DOUBLE) AS idf,
+                   ((s.n_docs - dft.df_t + 0.5::DOUBLE)
+                     / (dft.df_t + 0.5::DOUBLE))
+                     * (tf.tf * {k1p1})
+                     / (tf.tf + {k1r} * ({omb} + {br} * tf.dl
+                                         / (s.total_tokens / s.n_docs)))
+                     AS score
+            FROM tf JOIN dft USING (term) CROSS JOIN stats s
+            WHERE dft.df_t >= 2
+        ),
+        ranked AS (
+            SELECT *, CAST(row_number() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, term
+                   ) AS BIGINT) AS rank
+            FROM scored
+        )
+        SELECT doc_id, term, tf, dl, df_t, idf, score, rank
+        FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1283,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_json_props": q55_json_props,
         "q56_personalized_pagerank": q56_personalized_pagerank,
         "q57_token_budget": q57_token_budget,
+        "q58_bm25_keywords": q58_bm25_keywords,
     }
 
 
@@ -2426,4 +2506,5 @@ def oracle_sql() -> dict[str, str]:
                    (cum_tokens - n_tokens) < 10000 AS kept
             FROM c ORDER BY doc_id
         """,
+        "q58_bm25_keywords": _q58_sql(),
     }

@@ -322,6 +322,90 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     )
 
 
+def bm25_term_scores(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", k1: float = 1.2,
+                     b: float = 0.75, idf: str = "ln") -> DataFrame:
+    """Okapi BM25 term scoring over the whole corpus: one row per
+    (doc, term) with tf, dl, df_t, idf and the BM25 score — the
+    retrieval-ranking primitive (top-k terms per doc = a keyword
+    extractor; sum over query terms = a search scorer).
+
+    idf="ln" (the engine default): idf = ln(1 + (N - df + 0.5)/(df + 0.5))
+    — the standard non-negative BM25+ idf. idf="rational" drops the ln
+    (a strictly monotone transform, so every ranking/top-k downstream is
+    unchanged) which makes the score a pure +,-,*,/ composition of
+    integer-derived IEEE doubles — bit-exact across engines, hence the
+    contract/oracle path (q58); ln is NOT correctly-rounded-guaranteed
+    across libms, so it stays out of hashed columns (repo float rule).
+
+    Shuffle shape at 100 TB: explode -> ONE partial-aggregated shuffle
+    on (doc, term) for tf; term-level df is a second partial agg of that
+    result keyed by term (no re-read of the corpus); the df join back is
+    term-keyed sort-merge (vocab is corpus-sized — deliberately NOT
+    broadcast); N/avgdl is a 1-row aggregate broadcast as a scalar via
+    crossJoin. Nothing touches the driver.
+    """
+    toks = F.filter(tokens_col(text_col), lambda t: t != "")
+    base = docs.select(
+        F.col(id_col),
+        F.explode(toks).alias("term"),
+        F.size(toks).alias("dl"),
+    )
+    tf = (
+        base.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("total_tokens"),
+    ).select(
+        "n_docs",
+        (F.col("total_tokens") / F.col("n_docs")).alias("avgdl"),
+    )
+    rational = (F.col("n_docs") - F.col("df_t") + F.lit(0.5)) / (
+        F.col("df_t") + F.lit(0.5))
+    idf_col = F.log(F.lit(1.0) + rational) if idf == "ln" else rational
+    return (
+        tf.join(dft, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("dl").cast("long").alias("dl"),
+            F.col("df_t").cast("long").alias("df_t"),
+            idf_col.alias("idf"),
+            (
+                idf_col
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (F.col("tf")
+                   + F.lit(k1) * (F.lit(1.0 - b)
+                                  + F.lit(b) * F.col("dl") / F.col("avgdl")))
+            ).alias("score"),
+        )
+    )
+
+
+def top_terms_per_doc(scored: DataFrame, k: int = 3,
+                      id_col: str = "doc_id",
+                      min_df: int = 1) -> DataFrame:
+    """Top-k BM25 terms per doc (keyword extraction): rank by
+    (score DESC, term ASC) — fully deterministic tie order — within each
+    doc. The window partitions by doc id, so no global sort and no
+    single-reducer stage; per-partition heap via row_number + filter.
+    min_df drops hapax/noise terms before ranking."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.filter(F.col("df_t") >= min_df)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def prune_by_quality(docs: DataFrame, keep_frac: float = 0.5,
                      group_col: str = "lang", id_col: str = "doc_id",
                      text_col: str = "text", exact: bool = False) -> DataFrame:
