@@ -1303,6 +1303,48 @@ def _q58_sql(k1: float = 1.2, b: float = 0.75) -> str:
     """
 
 
+def q59_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join via prefix filtering
+    (dedup.set_similarity_join — the All-Pairs/PPJoin family): every
+    doc pair with token-set Jaccard >= 0.95, with the exact
+    inter/union counts. The engine generates candidates from
+    rare-first prefix tokens (lossless by the prefix-filtering
+    theorem) and verifies exactly; the oracle is the brute-force
+    O(n^2) join DuckDB can afford at sf0.01. jaccard is the unrounded
+    IEEE quotient of the two BIGINT counts — identical operands both
+    sides."""
+    from thesis_ner_co_tri_training_spark.operators.dedup import (
+        set_similarity_join)
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        set_similarity_join(docs, threshold=0.95)
+        .orderBy("a", "b")
+    )
+
+
+_Q59_SQL = f"""
+    WITH base AS (
+        SELECT doc_id,
+               list_distinct(list_filter(
+                   string_split(lower(trim(text)), ' '),
+                   t -> t <> '')) AS ts
+        FROM documents
+    ),
+    nz AS (SELECT * FROM base WHERE len(ts) > 0),
+    pairs AS (
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               CAST(len(list_intersect(x.ts, y.ts)) AS BIGINT) AS inter,
+               CAST(len(x.ts) + len(y.ts) AS BIGINT)
+                 - CAST(len(list_intersect(x.ts, y.ts)) AS BIGINT) AS uni
+        FROM nz x JOIN nz y ON x.doc_id < y.doc_id
+    )
+    SELECT a, b, inter, uni, inter / uni AS jaccard
+    FROM pairs WHERE inter / uni >= {0.95!r}::DOUBLE
+    ORDER BY a, b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1363,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_personalized_pagerank": q56_personalized_pagerank,
         "q57_token_budget": q57_token_budget,
         "q58_bm25_keywords": q58_bm25_keywords,
+        "q59_set_similarity": q59_set_similarity,
     }
 
 
@@ -2507,4 +2550,5 @@ def oracle_sql() -> dict[str, str]:
             FROM c ORDER BY doc_id
         """,
         "q58_bm25_keywords": _q58_sql(),
+        "q59_set_similarity": _Q59_SQL,
     }

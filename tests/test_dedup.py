@@ -345,3 +345,53 @@ def test_prune_by_quality_modes(spark):
     # boundary ties between equal quality values may differ; everything
     # else must agree
     assert n_match >= len(exact) - 5
+
+
+def test_set_similarity_join_lossless_vs_brute_force(spark):
+    """Prefix filtering must lose NOTHING: the operator's output equals
+    the brute-force all-pairs Jaccard join on a fixture with known
+    overlap structure (identical sets, high-overlap sets, disjoint
+    sets, subset relations, empty docs)."""
+    from itertools import combinations
+
+    from thesis_ner_co_tri_training_spark.operators.dedup import (
+        set_similarity_join)
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),          # dup of 1
+        (3, "alpha beta gamma delta zeta"),             # 4/6 of 1
+        (4, "omega psi chi phi"),                       # disjoint
+        (5, "alpha beta"),                              # subset of 1
+        (6, ""),                                        # empty -> excluded
+        (7, "omega psi chi phi upsilon tau"),           # superset of 4
+    ]
+    t = 0.6
+    sets = {i: set(s.split()) for i, s in docs if s.split()}
+    expect = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        uni = len(sets[a] | sets[b])
+        if uni and inter / uni >= t:
+            expect[(a, b)] = (inter, uni)
+    got = {
+        (r.a, r.b): (r.inter, r.uni)
+        for r in set_similarity_join(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            threshold=t).collect()
+    }
+    assert got == expect
+    assert (1, 2) in got and (4, 7) in got  # sanity: fixture non-trivial
+
+
+def test_set_similarity_prefix_prunes(spark):
+    """The candidate set is strictly smaller than all-pairs on real
+    data: rare-first prefixes keep stopword-like tokens out of the
+    join keys for large sets."""
+    from thesis_ner_co_tri_training_spark.operators.dedup import (
+        set_similarity_join)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    out = set_similarity_join(docs, threshold=0.9)
+    assert out.count() < n * (n - 1) / 2

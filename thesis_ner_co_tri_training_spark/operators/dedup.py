@@ -218,6 +218,84 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame | None = None,
     )
 
 
+def set_similarity_join(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact token-set Jaccard self-join via prefix filtering (the
+    All-Pairs / SSJoin / PPJoin family) — the third blocking strategy
+    next to MinHash-LSH (probabilistic) and SimHash (bitwise): EXACT
+    results (no recall loss) with candidate generation still bucketed,
+    never all-pairs.
+
+    Sets are distinct whitespace tokens (the q15 tokenizer). Every set
+    is sorted under one global total order — document frequency
+    ascending, token ascending (rare-first; fully deterministic) — and
+    only its PREFIX of length n - ceil(t*n) + 1 is exploded as join
+    keys. Classic prefix-filtering guarantee: two sets with J >= t must
+    share at least one token inside both prefixes under a common order,
+    so the token-keyed candidate join is lossless. Size filter
+    (t*|larger| <= |smaller|, a J >= t necessity) prunes before the
+    verify. Output: a, b, inter, uni, jaccard (unrounded IEEE double
+    from the two BIGINT operands — oracle-hashable) for pairs >= t.
+
+    Shuffle shape at 100 TB: df-count agg (token-keyed, partial), one
+    regroup to rebuild sorted sets, the candidate join keyed by PREFIX
+    tokens — rare-first ordering makes prefix tokens the LOW-frequency
+    ones, so bucket fan-out stays small exactly where a naive
+    token-join explodes (stopword buckets are never prefix members of
+    large sets); verify joins are id-keyed on candidates only. Brute
+    force appears nowhere except the DuckDB oracle (q59).
+    """
+    toks = F.array_distinct(
+        F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                 lambda t: t != ""))
+    base = (
+        df.select(F.col(id_col).alias("id"), toks.alias("ts"))
+        .filter(F.size("ts") > 0)
+    )
+    dfreq = (
+        base.select(F.explode("ts").alias("tok"))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    )
+    ordered = (
+        base.select("id", F.size("ts").alias("n"),
+                    F.explode("ts").alias("tok"))
+        .join(dfreq, "tok")
+        .groupBy("id")
+        .agg(
+            F.first("n").alias("n"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "tok"))),
+                lambda s: s["tok"],
+            ).alias("ts"),
+        )
+    )
+    plen = (F.col("n")
+            - F.ceil(F.lit(float(threshold)) * F.col("n")) + 1).cast("int")
+    pref = ordered.select(
+        "id", "n", F.explode(F.slice("ts", F.lit(1), plen)).alias("tok"))
+    a, b = pref.alias("pa"), pref.alias("pb")
+    t = F.lit(float(threshold))
+    cand = (
+        a.join(b, (F.col("pa.tok") == F.col("pb.tok"))
+               & (F.col("pa.id") < F.col("pb.id"))
+               & (F.col("pa.n") >= t * F.col("pb.n"))
+               & (F.col("pb.n") >= t * F.col("pa.n")))
+        .select(F.col("pa.id").alias("a"), F.col("pb.id").alias("b"))
+        .distinct()
+    )
+    fa = ordered.select(F.col("id").alias("a"), F.col("ts").alias("ts_a"))
+    fb = ordered.select(F.col("id").alias("b"), F.col("ts").alias("ts_b"))
+    inter = F.size(F.array_intersect("ts_a", "ts_b")).cast("long")
+    uni = (F.size("ts_a") + F.size("ts_b")).cast("long") - inter
+    return (
+        cand.join(fa, "a").join(fb, "b")
+        .select("a", "b", inter.alias("inter"), uni.alias("uni"),
+                (inter / uni).alias("jaccard"))
+        .filter(F.col("jaccard") >= t)
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id",
             text_col: str = "text", bits: int = 64,
             hasher: str = "xxhash64") -> DataFrame:
