@@ -1345,6 +1345,53 @@ _Q59_SQL = f"""
 """
 
 
+def q60_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style interval collapse (events.value_intervals —
+    gaps-and-islands): consecutive same-event_type events per user fold
+    into validity intervals [valid_from, valid_to) with valid_to = the
+    next run's start (NULL on the open run). Runs on the event_id % 4
+    subset so runs have real length spread. Raw timestamp values only
+    in hashed columns (repo timezone rule — no epoch casts)."""
+    from thesis_ner_co_tri_training_spark.operators.events import (
+        value_intervals)
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 4 == 0)
+    return value_intervals(ev).orderBy("user_id", "valid_from", "event_type")
+
+
+_Q60_SQL = """
+    WITH e AS (
+        SELECT user_id, ts, event_type, event_id
+        FROM events WHERE event_id % 4 = 0
+    ),
+    f AS (
+        SELECT user_id, ts, event_type, event_id,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                      OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    r AS (
+        SELECT user_id, ts, event_type,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS run
+        FROM f
+    ),
+    runs AS (
+        SELECT user_id, run, min(event_type) AS event_type,
+               min(ts) AS valid_from,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM r GROUP BY user_id, run
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY run)
+               AS valid_to,
+           n_events
+    FROM runs ORDER BY user_id, valid_from, event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1406,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_token_budget": q57_token_budget,
         "q58_bm25_keywords": q58_bm25_keywords,
         "q59_set_similarity": q59_set_similarity,
+        "q60_value_intervals": q60_value_intervals,
     }
 
 
@@ -2551,4 +2599,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q58_bm25_keywords": _q58_sql(),
         "q59_set_similarity": _Q59_SQL,
+        "q60_value_intervals": _Q60_SQL,
     }

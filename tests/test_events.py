@@ -250,3 +250,39 @@ def test_cohort_retention_oracle(spark):
         ((mon + dt.timedelta(days=7)).date(), 0): 1,
         ((mon + dt.timedelta(days=7)).date(), 1): 1,
     }
+
+
+def test_value_intervals_scd2(spark):
+    """Gaps-and-islands collapse: runs fold to intervals, valid_to =
+    next run's start (NULL on the open run), same-ts boundary ordered
+    by the tiebreak id, and a value REVISITED later starts a new
+    interval (not merged with its earlier run)."""
+    from datetime import datetime
+
+    from thesis_ner_co_tri_training_spark.operators.events import (
+        value_intervals)
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: A A B A  -> [A@0..2) x2, [B@2..3) x1, [A@3..) x1
+        (1, t(0), "A", 10),
+        (1, t(1), "A", 11),
+        (1, t(2), "B", 12),
+        (1, t(3), "A", 13),
+        # user 2: same-ts tie -> event_id order decides: B then A
+        (2, t(5), "B", 20),
+        (2, t(5), "A", 21),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long")
+    got = {
+        (r.user_id, r.valid_from, r.event_type): (r.valid_to, r.n_events)
+        for r in value_intervals(df).collect()
+    }
+    assert got == {
+        (1, t(0), "A"): (t(2), 2),
+        (1, t(2), "B"): (t(3), 1),
+        (1, t(3), "A"): (None, 1),
+        (2, t(5), "B"): (t(5), 1),
+        (2, t(5), "A"): (None, 1),
+    }

@@ -248,3 +248,59 @@ def cohort_retention(events: DataFrame, key: str = "user_id",
         .groupBy("cohort", "offset")
         .agg(F.count_distinct(key).alias("n_users"))
     )
+
+
+def value_intervals(events: DataFrame, key: str = "user_id",
+                    ts: str = "ts", value: str = "event_type",
+                    order_tiebreak: str = "event_id") -> DataFrame:
+    """SCD2-style interval collapse (gaps-and-islands): per key, fold
+    consecutive events carrying the SAME value into one validity
+    interval. Output (key, value, valid_from, valid_to, n_events):
+    valid_from = the run's first event time, valid_to = the next run's
+    start (NULL on the current/open run — the SCD2 convention), n_events
+    = run length. The canonical "attribute history" builder for a
+    slowly-changing dimension: feed it (entity, ts, attribute) rows,
+    get versioned rows with half-open validity.
+
+    Determinism: events are ordered by (ts, tiebreak) per key — the
+    tiebreak column must be unique per key (event ids are), so run
+    boundaries and every output value are pinned for any partitioning.
+
+    Shuffle shape at 100 TB: ONE exchange on the key — the change-flag
+    lag, the run-id cumulative sum, and the next-run lead all share the
+    same (key)-partitioned sort, and Catalyst evaluates them in a
+    single Window stage; the per-run aggregate re-keys by (key, run)
+    which AQE plans as a local follow-up of the same partitioning
+    (key is a prefix). No bare windows, no driver state.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.col(ts), F.col(order_tiebreak))
+    flagged = events.select(
+        key, ts, value,
+        F.when(
+            F.lag(value).over(w).isNull()
+            | (F.lag(value).over(w) != F.col(value)),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("__chg"),
+        F.col(order_tiebreak).alias("__tb"),
+    ).withColumn(
+        "__run",
+        F.sum("__chg").over(
+            Window.partitionBy(key)
+            .orderBy(F.col(ts), F.col("__tb"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    runs = (
+        flagged.groupBy(key, "__run")
+        .agg(
+            F.first(value).alias(value),
+            F.min(ts).alias("valid_from"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    w2 = Window.partitionBy(key).orderBy("__run")
+    return (
+        runs.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .select(key, value, "valid_from", "valid_to", "n_events")
+    )
