@@ -1392,6 +1392,141 @@ _Q60_SQL = """
 """
 
 
+def _weighted_doc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q30/q49 doc graph with deterministic positive integer weights
+    w = 1 + (x + y) % 5 computed from the NUMERIC endpoint ids before
+    padding — engine-portable arithmetic, no hashing."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    ids = docs.select(F.col("doc_id").alias("y"))
+    chain = (
+        docs.filter(F.col("doc_id") % 7 != 6)
+        .select(F.col("doc_id").alias("x"), (F.col("doc_id") + 1).alias("y"))
+        .join(ids, "y")
+    )
+    far = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(F.col("doc_id").alias("x"), (F.col("doc_id") + 13).alias("y"))
+        .join(ids, "y")
+    )
+    pad = lambda c: F.lpad(c.cast("string"), 8, "0")
+    return chain.unionByName(far).select(
+        pad(F.col("x")).alias("a"), pad(F.col("y")).alias("b"),
+        (F.lit(1) + (F.col("x") + F.col("y")) % 5).cast("long").alias("w"))
+
+
+def q61_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded Bellman-Ford (plans/graph.shortest_paths): cheapest
+    <=10-edge path weight from the doc_id % 100 == 0 source set over
+    the weighted doc graph (weights 1 + (x+y) % 5 — deterministic
+    integers). All BIGINT arithmetic: the whole 10-round loop is
+    DuckDB-oracled via unrolled materialized CTEs like q47/q49."""
+    from thesis_ner_co_tri_training_spark.plans.graph import shortest_paths
+
+    e = _weighted_doc_edges(spark, sf_dir)
+    srcs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 100 == 0)
+        .select(F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("node"))
+    )
+    return (
+        shortest_paths(e, srcs, iterations=10, src="a", dst="b", weight="w")
+        .orderBy("node")
+    )
+
+
+def _q61_sql(iters: int = 10) -> str:
+    """shortest_paths oracle: unrolled Bellman-Ford rounds
+    d_{k} = min(d_{k-1}, relax of d_{k-1}) over the weighted doc graph.
+    MATERIALIZED for the q47 reason (each round references the previous
+    twice)."""
+    m = "AS MATERIALIZED"
+    edges = """
+        SELECT lpad(CAST(x.doc_id AS VARCHAR), 8, '0') AS u,
+               lpad(CAST(x.doc_id + 1 AS VARCHAR), 8, '0') AS v,
+               CAST(1 + (x.doc_id + x.doc_id + 1) % 5 AS BIGINT) AS w
+        FROM documents x
+        WHERE x.doc_id % 7 <> 6
+          AND EXISTS (SELECT 1 FROM documents i WHERE i.doc_id = x.doc_id + 1)
+        UNION ALL
+        SELECT lpad(CAST(x.doc_id AS VARCHAR), 8, '0'),
+               lpad(CAST(x.doc_id + 13 AS VARCHAR), 8, '0'),
+               CAST(1 + (x.doc_id + x.doc_id + 13) % 5 AS BIGINT)
+        FROM documents x
+        WHERE x.doc_id % 50 = 0
+          AND EXISTS (SELECT 1 FROM documents i WHERE i.doc_id = x.doc_id + 13)
+    """
+    ctes = [
+        f"e {m} (SELECT u, v, min(w) AS w FROM ({edges}) GROUP BY u, v)",
+        f"d0 {m} (SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS node, "
+        f"CAST(0 AS BIGINT) AS dist FROM documents WHERE doc_id % 100 = 0)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(
+            f"d{k} {m} (SELECT node, min(dist) AS dist FROM ("
+            f"SELECT node, dist FROM d{p} "
+            f"UNION ALL "
+            f"SELECT e.v AS node, d.dist + e.w AS dist "
+            f"FROM d{p} d JOIN e ON e.u = d.node) GROUP BY node)")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, CAST(dist AS BIGINT) AS dist FROM d{iters} "
+              "ORDER BY node")
+
+
+def q62_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation communities
+    (plans/graph.label_propagation): 5 deterministic sync rounds
+    (neighbor-label mode, min-label tiebreak) over the undirected doc
+    graph. Fixed round count makes the output well-defined and fully
+    DuckDB-oracled even where sync LPA oscillates."""
+    from thesis_ner_co_tri_training_spark.plans.graph import (
+        label_propagation)
+
+    e = _doc_graph_edges(spark, sf_dir)
+    return (
+        label_propagation(e, iterations=5, src="a", dst="b")
+        .orderBy("node")
+    )
+
+
+def _q62_sql(iters: int = 5) -> str:
+    """label_propagation oracle: symmetrized distinct doc-graph edges;
+    per round, per-node neighbor-label counts then the (c DESC, label
+    ASC) argmax via row_number. MATERIALIZED per the q47 reason."""
+    m = "AS MATERIALIZED"
+    edges = """
+        SELECT lpad(CAST(x.doc_id AS VARCHAR), 8, '0') AS u,
+               lpad(CAST(x.doc_id + 1 AS VARCHAR), 8, '0') AS v
+        FROM documents x
+        WHERE x.doc_id % 7 <> 6
+          AND EXISTS (SELECT 1 FROM documents i WHERE i.doc_id = x.doc_id + 1)
+        UNION ALL
+        SELECT lpad(CAST(x.doc_id AS VARCHAR), 8, '0'),
+               lpad(CAST(x.doc_id + 13 AS VARCHAR), 8, '0')
+        FROM documents x
+        WHERE x.doc_id % 50 = 0
+          AND EXISTS (SELECT 1 FROM documents i WHERE i.doc_id = x.doc_id + 13)
+    """
+    ctes = [
+        f"ed {m} (SELECT DISTINCT u, v FROM ({edges}) WHERE u <> v)",
+        f"nb {m} (SELECT u AS a, v AS b FROM ed "
+        f"UNION SELECT v AS a, u AS b FROM ed)",
+        f"l0 {m} (SELECT DISTINCT a AS node, a AS label FROM nb)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(
+            f"c{k} {m} (SELECT n.a AS node, l.label, count(*) AS c "
+            f"FROM nb n JOIN l{p} l ON l.node = n.b GROUP BY n.a, l.label)")
+        ctes.append(
+            f"l{k} {m} (SELECT node, label FROM ("
+            f"SELECT node, label, row_number() OVER ("
+            f"PARTITION BY node ORDER BY c DESC, label) AS rn FROM c{k}) "
+            f"WHERE rn = 1)")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, label FROM l{iters} ORDER BY node")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1454,6 +1589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_bm25_keywords": q58_bm25_keywords,
         "q59_set_similarity": q59_set_similarity,
         "q60_value_intervals": q60_value_intervals,
+        "q61_shortest_paths": q61_shortest_paths,
+        "q62_label_propagation": q62_label_propagation,
     }
 
 
@@ -2600,4 +2737,6 @@ def oracle_sql() -> dict[str, str]:
         "q58_bm25_keywords": _q58_sql(),
         "q59_set_similarity": _Q59_SQL,
         "q60_value_intervals": _Q60_SQL,
+        "q61_shortest_paths": _q61_sql(),
+        "q62_label_propagation": _q62_sql(),
     }

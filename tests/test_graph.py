@@ -225,3 +225,91 @@ def test_personalized_pagerank_fixedpoint(spark, edges_df):
     glob = {r["node"]: r["rank"]
             for r in pagerank_fixedpoint(edges_df, iterations=10).collect()}
     assert glob == oracle_pagerank_fixedpoint(EDGES, iters=10)
+
+
+def test_shortest_paths_bounded_bellman_ford(spark):
+    """Exact vs a pure-Python bounded Bellman-Ford: min weight over
+    paths of <= k edges, multiple sources, parallel edges collapsed to
+    min weight, heavier-but-shorter vs lighter-but-longer routes."""
+    from thesis_ner_co_tri_training_spark.plans.graph import shortest_paths
+
+    edges = [  # (u, v, w)
+        ("a", "b", 5), ("a", "b", 9),     # parallel -> min 5
+        ("a", "c", 1), ("c", "b", 1),     # a->b via c costs 2 (2 edges)
+        ("b", "d", 1),
+        ("e", "f", 2),                    # second source island
+        ("x", "y", 3),                    # unreachable from sources
+    ]
+    srcs = [("a",), ("e",)]
+    for k in (1, 2, 3):
+        ref: dict[str, int] = {s: 0 for (s,) in srcs}
+        cur = dict(ref)
+        emin: dict[tuple, int] = {}
+        for u, v, w in edges:
+            emin[(u, v)] = min(w, emin.get((u, v), w))
+        for _ in range(k):
+            nxt = dict(cur)
+            for (u, v), w in emin.items():
+                if u in cur and cur[u] + w < nxt.get(v, 1 << 60):
+                    nxt[v] = cur[u] + w
+            cur = nxt
+        got = {
+            r.node: r.dist
+            for r in shortest_paths(
+                spark.createDataFrame(edges, "u string, v string, w long"),
+                spark.createDataFrame(srcs, "node string"),
+                iterations=k, src="u", dst="v", weight="w").collect()
+        }
+        assert got == cur, k
+    # k=2 must prefer the 2-edge route a->c->b (cost 2) over direct 5
+    got2 = {
+        r.node: r.dist
+        for r in shortest_paths(
+            spark.createDataFrame(edges, "u string, v string, w long"),
+            spark.createDataFrame(srcs, "node string"),
+            iterations=2, src="u", dst="v", weight="w").collect()
+    }
+    assert got2["b"] == 2
+
+
+def test_shortest_paths_rejects_negative(spark):
+    import pytest
+
+    from thesis_ner_co_tri_training_spark.plans.graph import shortest_paths
+
+    with pytest.raises(ValueError, match="negative"):
+        shortest_paths(
+            spark.createDataFrame([("a", "b", -1)], "u string, v string, w long"),
+            spark.createDataFrame([("a",)], "node string"),
+            iterations=2, src="u", dst="v", weight="w")
+
+
+def test_label_propagation_two_communities(spark):
+    """Two 4-cliques joined by one bridge edge: LPA assigns one label
+    per clique; the bridge does not merge them (each side's internal
+    MAJORITY beats the single cross vote — note a triangle would NOT
+    suffice: with tied counts the min tiebreak lets the bridge label
+    flood). Sync rounds + min tiebreak => deterministic."""
+    from itertools import combinations
+
+    from thesis_ner_co_tri_training_spark.plans.graph import (
+        label_propagation)
+
+    a = [f"a{i}" for i in range(1, 5)]
+    b = [f"b{i}" for i in range(1, 5)]
+    cl = list(combinations(a, 2)) + list(combinations(b, 2))
+    bridge = [("a1", "b1")]
+    df = spark.createDataFrame(cl + bridge, "s string, o string")
+    out = {r.node: r.label
+           for r in label_propagation(df, iterations=5,
+                                      src="s", dst="o").collect()}
+    assert len(out) == 8
+    a_labels = {out[n] for n in a}
+    b_labels = {out[n] for n in b}
+    assert len(a_labels) == 1 and len(b_labels) == 1
+    assert a_labels != b_labels
+    # rerun -> identical (determinism)
+    out2 = {r.node: r.label
+            for r in label_propagation(df, iterations=5,
+                                       src="s", dst="o").collect()}
+    assert out == out2

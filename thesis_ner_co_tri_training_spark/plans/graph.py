@@ -311,3 +311,111 @@ def triangle_count(edges: DataFrame, src: str = "subj_id",
                 F.coalesce("n_triangles", F.lit(0)).cast("long")
                 .alias("n_triangles"))
     )
+
+
+def shortest_paths(edges: DataFrame, sources: DataFrame,
+                   iterations: int = 10, src: str = "subj_id",
+                   dst: str = "obj_id", weight: str = "w",
+                   checkpoint_every: int = 5) -> DataFrame:
+    """Bounded Bellman-Ford: minimum path weight from a source set using
+    at most `iterations` edges. Output (node, dist) — BIGINT weights, so
+    every min/sum is order-independent and the whole loop is
+    DuckDB-oracle-checkable (q61); unreachable-within-k nodes are
+    absent. Parallel edges collapse to their MIN weight (the shortest
+    path never takes the heavier twin).
+
+    dist_{i+1}(v) = min(dist_i(v), min over edges (u,v) of
+    dist_i(u) + w(u,v)) — after k rounds this is exactly "cheapest path
+    with <= k edges", a well-defined contract whether or not the graph
+    has converged (and equal to true shortest-path distance once k >=
+    graph diameter, since weights are positive).
+
+    Scale: per round ONE node-keyed relax join + min-aggregate and one
+    min-union with the previous front — same keyed shuffle shape as
+    pagerank; localCheckpoint cadence cuts the iterative lineage.
+    Negative weights are rejected (guarantees monotone convergence and
+    the <=k-edges semantics both).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"),
+                     F.col(weight).cast("long").alias("w"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .groupBy("u", "v").agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    if e.filter(F.col("w") < 0).limit(1).count() > 0:
+        raise ValueError("shortest_paths: negative edge weights")
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    for i in range(iterations):
+        relax = (
+            dist.join(e, dist["node"] == e["u"])
+            .select(F.col("v").alias("node"),
+                    (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            dist = dist.localCheckpoint(eager=True)
+    return dist
+
+
+def label_propagation(edges: DataFrame, iterations: int = 5,
+                      src: str = "subj_id", dst: str = "obj_id",
+                      checkpoint_every: int = 5) -> DataFrame:
+    """Synchronous label propagation (community detection). Labels start
+    as each node's own id; every round, EVERY node simultaneously takes
+    the most frequent label among its neighbors (undirected), ties
+    broken by the smallest label — fully deterministic, no
+    sequential-update order dependence. Output (node, label) after
+    exactly `iterations` rounds: a pinned contract whether or not the
+    propagation has stabilized (sync LPA can 2-cycle on bipartite
+    regions; fixed rounds make the output well-defined), which is what
+    makes the whole loop DuckDB-oracle-checkable (q62) unlike classic
+    async LPA. Isolated nodes (none in an edge list) don't occur;
+    self-loops are dropped.
+
+    Scale per round: neighbor-label count is one (node, label)-keyed
+    aggregate over the symmetrized edge list joined to the label table
+    (node-keyed join), then a per-node argmax via min(struct) — a
+    second keyed aggregate, NO window/sort; same shape as the star-CC
+    rounds. Hub skew: the hottest node contributes deg rows to a
+    uniform (node, label) key space — pre-aggregated map-side.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b")))
+    )
+    nbrs = (
+        und.unionByName(und.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        nbrs.select(F.col("a").alias("node")).distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for i in range(iterations):
+        cnt = (
+            nbrs.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.groupBy("node")
+            .agg(F.min(F.struct(-F.col("c"), F.col("label"))).alias("__m"))
+            .select("node", F.col("__m.label").alias("label"))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
