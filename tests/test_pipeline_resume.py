@@ -88,11 +88,12 @@ def test_edges_partition_pruning(spark, warehouse):
     import re
 
     wh, _ = warehouse
-    edges_dir = os.path.join(wh, "edges", "data")
-    pred_dirs = [d for d in os.listdir(edges_dir) if d.startswith("pred=")]
+    snap = catalog.latest_snapshot(wh, "edges")
+    snap_dir = os.path.join(wh, "edges", "data", snap["data_paths"][0])
+    pred_dirs = [d for d in os.listdir(snap_dir) if d.startswith("pred=")]
     assert len(pred_dirs) > 1, "fixture produced a single predicate"
     one_pred = pred_dirs[0].split("=", 1)[1]
-    df = spark.read.parquet(edges_dir).filter(f"pred = '{one_pred}'")
+    df = catalog.read_table(spark, wh, "edges").filter(f"pred = '{one_pred}'")
     plan = df._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "pred" in m.group(1), plan[:2000]

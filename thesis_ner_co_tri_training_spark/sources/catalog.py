@@ -1,23 +1,50 @@
 """Iceberg-style table catalog shim + per-stage lineage records.
 
 The sandbox has no iceberg-spark-runtime jars, so tables are written as
-partitioned Parquet in an Iceberg-compatible layout:
+partitioned Parquet in an Iceberg-compatible layout with REAL snapshot
+semantics (immutable data files, manifest-listed per snapshot):
 
-    <warehouse>/<table>/data/...(partition dirs)/part-*.parquet
+    <warehouse>/<table>/data/snap-<n>/...(partition dirs)/part-*.parquet
     <warehouse>/<table>/metadata/snapshot-<n>.json
+
+Each write lands in a fresh immutable `data/snap-<n>/` directory; the
+snapshot JSON is the manifest: `data_paths` lists the snap dirs that
+constitute the table at that snapshot. That buys the four Iceberg
+capabilities the north rule's 10^12-document table needs, without jars:
+
+- append      -> new snapshot = previous paths + the new dir
+- time travel -> `read_table(..., snapshot_id=k)` reads snapshot k's
+                 manifest, regardless of later writes
+- incremental -> `read_incremental(from, to)` reads ONLY the dirs added
+                 between two snapshots (Iceberg incremental scan;
+                 raises if a non-append rewrite broke the lineage)
+- compaction  -> `compact_table` rewrites the current file set into few
+                 large files as a NEW snapshot (row-parity asserted);
+                 `expire_snapshots` garbage-collects unreferenced dirs
 
 If `spark.sql.catalog.*` ever points at a real Iceberg catalog, switch
 `write_table` to `df.writeTo(name).using('iceberg')` — the call sites
-don't change. Snapshot JSON carries the north rule's lineage requirement:
-stage name, params, row count, AND per-partition row counts/metrics
-(computed with spark_partition_id(), one aggregate pass — no collect of
-data rows).
+don't change. Snapshot JSON carries the north rule's lineage
+requirement: stage name, params, row count, AND per-partition row
+counts/metrics (computed with spark_partition_id(), one aggregate pass
+over the ADDED data only — appends never rescan the whole table, which
+is what keeps the lineage write O(added) at 100 TB; totals are carried
+forward arithmetically like Iceberg's snapshot summaries).
+
+Scale note on reads: each snap dir is loaded as its own basePath and
+the scans are unioned, so hive-style partition dirs (`pred=.../`)
+under every snap dir are discovered and partition pruning + filter
+pushdown apply per branch exactly as in the single-dir layout
+(asserted in tests/test_catalog.py). Long append chains add one scan
+node per snapshot — `compact_table` is the maintenance job that folds
+them back to one.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from typing import Any
 
@@ -31,6 +58,33 @@ def _metadata_dir(warehouse: str, table: str) -> str:
 
 def _data_dir(warehouse: str, table: str) -> str:
     return os.path.join(warehouse, table, "data")
+
+
+def _snap_meta_path(warehouse: str, table: str, snap_id: int) -> str:
+    return os.path.join(_metadata_dir(warehouse, table),
+                        f"snapshot-{snap_id}.json")
+
+
+def _snapshot_ids(warehouse: str, table: str) -> list[int]:
+    """Numerically sorted snapshot ids (string sort breaks at 10)."""
+    meta = _metadata_dir(warehouse, table)
+    if not os.path.isdir(meta):
+        return []
+    ids = []
+    for f in os.listdir(meta):
+        if f.startswith("snapshot-") and f.endswith(".json"):
+            try:
+                ids.append(int(f[len("snapshot-"):-len(".json")]))
+            except ValueError:
+                continue
+    return sorted(ids)
+
+
+def _count_parquet_files(root: str) -> int:
+    n = 0
+    for _, _, files in os.walk(root):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
 
 
 def partition_metrics(df: DataFrame) -> list[dict[str, Any]]:
@@ -51,27 +105,57 @@ def write_table(
     partition_by: list[str] | None = None,
     stage_params: dict[str, Any] | None = None,
     mode: str = "overwrite",
+    operation: str | None = None,
 ) -> dict[str, Any]:
-    """Write Parquet in Iceberg-ish layout + snapshot/lineage JSON.
+    """Write Parquet into a fresh immutable snap dir + snapshot manifest.
 
-    Returns the snapshot record. The `_SUCCESS` marker written by Spark
-    inside data/ is the resume gate used by plans.pipeline.
+    mode="overwrite": the new snapshot references ONLY the new dir
+    (previous snapshots still reference their own dirs — time travel
+    keeps working until `expire_snapshots`). mode="append": the new
+    snapshot references previous paths + the new dir.
+
+    Returns the snapshot record. The `_SUCCESS` marker Spark writes
+    inside the snap dir is the resume gate used by plans.pipeline.
     """
-    data_dir = _data_dir(warehouse, table)
-    writer = df.write.mode(mode)
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"write_table: unsupported mode {mode!r}")
+    prev = latest_snapshot(warehouse, table)
+    snap_id = (prev["snapshot_id"] + 1) if prev else 0
+    rel_dir = f"snap-{snap_id}"
+    out_dir = os.path.join(_data_dir(warehouse, table), rel_dir)
+
+    writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     t0 = time.time()
-    writer.parquet(data_dir)
+    writer.parquet(out_dir)
     elapsed = time.time() - t0
 
-    back = df.sparkSession.read.parquet(data_dir)
-    parts = partition_metrics(back)  # one aggregate; row_count = its sum
+    # Lineage metrics over the ADDED data only — O(added), not O(table).
+    back = df.sparkSession.read.parquet(out_dir)
+    parts = partition_metrics(back)
+    added_rows = sum(p["rows"] for p in parts)
+    added_files = _count_parquet_files(out_dir)
+    if mode == "append" and prev is not None:
+        data_paths = list(prev.get("data_paths", [])) + [rel_dir]
+        row_count = prev["row_count"] + added_rows
+        total_files = prev.get("total_data_files", 0) + added_files
+    else:
+        data_paths = [rel_dir]
+        row_count = added_rows
+        total_files = added_files
     snapshot = {
         "table": table,
+        "snapshot_id": snap_id,
+        "operation": operation or mode,
+        "parent_snapshot_id": prev["snapshot_id"] if prev else None,
         "schema": back.schema.jsonValue(),
         "partition_by": partition_by or [],
-        "row_count": sum(p["rows"] for p in parts),
+        "data_paths": data_paths,
+        "row_count": row_count,
+        "added_rows": added_rows,
+        "added_data_files": added_files,
+        "total_data_files": total_files,
         "partitions": parts,
         "write_seconds": round(elapsed, 3),
         "params": stage_params or {},
@@ -79,37 +163,173 @@ def write_table(
     }
     meta = _metadata_dir(warehouse, table)
     os.makedirs(meta, exist_ok=True)
-    existing = [f for f in os.listdir(meta) if f.startswith("snapshot-")]
-    snap_id = len(existing)
-    snapshot["snapshot_id"] = snap_id
-    with open(os.path.join(meta, f"snapshot-{snap_id}.json"), "w") as fh:
+    with open(_snap_meta_path(warehouse, table, snap_id), "w") as fh:
         json.dump(snapshot, fh, indent=2, default=str)
     return snapshot
 
 
-def read_table(spark: SparkSession, warehouse: str, table: str) -> DataFrame:
-    return spark.read.parquet(_data_dir(warehouse, table))
+def _resolve_paths(warehouse: str, table: str,
+                   snap: dict[str, Any]) -> list[str]:
+    data_dir = _data_dir(warehouse, table)
+    rels = snap.get("data_paths")
+    if rels is None:  # pre-snapshot-layout warehouse: flat data/ dir
+        return [data_dir]
+    return [os.path.join(data_dir, r) for r in rels]
+
+
+def _read_paths(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """One scan per snap dir, unioned. Each dir is its own basePath so
+    hive-style partition dirs beneath it are discovered (a single
+    multi-path read refuses roots at different partition depths).
+    Partition pruning + filter pushdown apply to every branch of the
+    union (asserted in tests/test_catalog.py); appends therefore add
+    one scan node each — `compact_table` folds them back to one."""
+    dfs = [spark.read.option("basePath", p).parquet(p) for p in paths]
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def read_table(spark: SparkSession, warehouse: str, table: str,
+               snapshot_id: int | None = None) -> DataFrame:
+    """Read the table as of `snapshot_id` (default: latest) — time
+    travel over the manifested immutable snap dirs."""
+    snap = get_snapshot(warehouse, table, snapshot_id)
+    if snap is None:
+        # no metadata at all: legacy flat layout
+        return spark.read.parquet(_data_dir(warehouse, table))
+    return _read_paths(spark, _resolve_paths(warehouse, table, snap))
+
+
+def get_snapshot(warehouse: str, table: str,
+                 snapshot_id: int | None = None) -> dict[str, Any] | None:
+    if snapshot_id is None:
+        return latest_snapshot(warehouse, table)
+    path = _snap_meta_path(warehouse, table, snapshot_id)
+    if not os.path.exists(path):
+        raise ValueError(
+            f"{table}: snapshot {snapshot_id} does not exist "
+            f"(have {_snapshot_ids(warehouse, table)})")
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def read_incremental(spark: SparkSession, warehouse: str, table: str,
+                     from_snapshot: int,
+                     to_snapshot: int | None = None) -> DataFrame:
+    """Rows ADDED strictly after `from_snapshot` up to `to_snapshot`
+    (default latest) — the Iceberg incremental scan: reads only the
+    snap dirs the appends added, never the already-processed base.
+    Raises if the range contains a non-append rewrite (overwrite or
+    compaction drops/replaces files, so 'the new rows' is no longer
+    well-defined as a file-set difference)."""
+    lo = get_snapshot(warehouse, table, from_snapshot)
+    hi = get_snapshot(warehouse, table, to_snapshot)
+    if hi is None or lo is None:
+        raise ValueError(f"{table}: missing snapshot metadata")
+    lo_paths = lo.get("data_paths", [])
+    hi_paths = hi.get("data_paths", [])
+    if hi["snapshot_id"] < lo["snapshot_id"]:
+        raise ValueError("read_incremental: to_snapshot < from_snapshot")
+    missing = [p for p in lo_paths if p not in hi_paths]
+    if missing:
+        raise ValueError(
+            f"{table}: snapshots {from_snapshot}..{hi['snapshot_id']} "
+            f"contain a non-append rewrite (paths {missing} were "
+            "replaced); incremental read requires append-only history")
+    new = [p for p in hi_paths if p not in lo_paths]
+    if not new:
+        return read_table(spark, warehouse, table,
+                          hi["snapshot_id"]).limit(0)
+    data_dir = _data_dir(warehouse, table)
+    return _read_paths(spark, [os.path.join(data_dir, p) for p in new])
+
+
+def compact_table(spark: SparkSession, warehouse: str, table: str,
+                  target_files: int = 1) -> dict[str, Any]:
+    """Rewrite the current file set into `target_files` files per
+    partition-dir tree as a NEW snapshot (Iceberg rewrite_data_files):
+    readers of older snapshots are untouched; the latest snapshot now
+    references only the compacted dir. Row parity is asserted — a
+    compaction that changes row_count aborts before publishing.
+
+    At 100 TB this is the small-files maintenance job: streaming and
+    per-stage appends accumulate many small parquet files; one
+    repartition pass rewrites them at full cluster parallelism, and
+    every later scan pays fewer file-open/footer costs.
+    """
+    prev = latest_snapshot(warehouse, table)
+    if prev is None:
+        raise ValueError(f"{table}: nothing to compact")
+    df = read_table(spark, warehouse, table)
+    part_cols = prev.get("partition_by") or []
+    if part_cols:
+        # hash each partition value wholly into one of target_files
+        # tasks -> at most target_files files per partition dir
+        df = df.repartition(target_files, *part_cols)
+    else:
+        df = df.repartition(target_files)
+    snap = write_table(
+        df, warehouse, table,
+        partition_by=prev.get("partition_by") or None,
+        stage_params={"compacted_from": prev["snapshot_id"],
+                      "target_files": target_files},
+        mode="overwrite", operation="compact",
+    )
+    if snap["row_count"] != prev["row_count"]:
+        # unpublish the bad snapshot, keep the table at prev
+        os.remove(_snap_meta_path(warehouse, table, snap["snapshot_id"]))
+        raise AssertionError(
+            f"{table}: compaction row-count mismatch "
+            f"{prev['row_count']} -> {snap['row_count']}")
+    return snap
+
+
+def expire_snapshots(warehouse: str, table: str,
+                     keep_last: int = 1) -> dict[str, Any]:
+    """Drop all but the newest `keep_last` snapshots and delete snap
+    dirs no retained snapshot references (Iceberg expire_snapshots +
+    orphan-file GC). Time travel to an expired snapshot then raises."""
+    if keep_last < 1:
+        raise ValueError("expire_snapshots: keep_last must be >= 1")
+    ids = _snapshot_ids(warehouse, table)
+    drop, keep = ids[:-keep_last], ids[-keep_last:]
+    referenced: set[str] = set()
+    for sid in keep:
+        snap = get_snapshot(warehouse, table, sid)
+        referenced.update(snap.get("data_paths", []))
+    removed_dirs = []
+    data_dir = _data_dir(warehouse, table)
+    if os.path.isdir(data_dir):
+        for d in os.listdir(data_dir):
+            if (d.startswith("snap-") and d not in referenced
+                    and os.path.isdir(os.path.join(data_dir, d))):
+                shutil.rmtree(os.path.join(data_dir, d))
+                removed_dirs.append(d)
+    for sid in drop:
+        os.remove(_snap_meta_path(warehouse, table, sid))
+    return {"table": table, "expired_snapshots": drop,
+            "kept_snapshots": keep, "removed_dirs": sorted(removed_dirs)}
 
 
 def table_complete(warehouse: str, table: str) -> bool:
-    """Resume gate: data written (_SUCCESS) and snapshot recorded."""
-    data_dir = _data_dir(warehouse, table)
-    meta = _metadata_dir(warehouse, table)
-    return (
-        os.path.exists(os.path.join(data_dir, "_SUCCESS"))
-        and os.path.isdir(meta)
-        and any(f.startswith("snapshot-") for f in os.listdir(meta))
-    )
+    """Resume gate: a latest snapshot exists and every data path it
+    references was fully written (Spark's _SUCCESS marker)."""
+    snap = latest_snapshot(warehouse, table)
+    if snap is None:
+        return False
+    for path in _resolve_paths(warehouse, table, snap):
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            return False
+    return True
 
 
 def latest_snapshot(warehouse: str, table: str) -> dict[str, Any] | None:
-    meta = _metadata_dir(warehouse, table)
-    if not os.path.isdir(meta):
+    ids = _snapshot_ids(warehouse, table)
+    if not ids:
         return None
-    snaps = sorted(f for f in os.listdir(meta) if f.startswith("snapshot-"))
-    if not snaps:
-        return None
-    with open(os.path.join(meta, snaps[-1])) as fh:
+    with open(_snap_meta_path(warehouse, table, ids[-1])) as fh:
         return json.load(fh)
 
 
