@@ -28,6 +28,13 @@ def main() -> int:
     ap.add_argument("--input-warc", default=None,
                     help="dir/glob of .warc/.warc.gz files (Common-Crawl-style "
                          "ingestion via sources.warc.read_warc)")
+    ap.add_argument("--append-pages", type=int, default=None,
+                    help="incremental mode: append N NEW synthetic pages "
+                         "(ids continue after the warehouse's pages table) "
+                         "and process ONLY that batch through the doc-local "
+                         "stages; global stages (entities/nodes/edges) are "
+                         "recomputed over the accumulated tables. Rerun of "
+                         "the same batch is an all-resumed no-op.")
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
@@ -49,6 +56,53 @@ def main() -> int:
 
     spark = get_spark("kg_pipeline", cpus=args.cpus,
                       shuffle_partitions=args.shuffle_partitions)
+
+    if args.append_pages is not None:
+        from thesis_ner_co_tri_training_spark.plans.pipeline import (
+            run_pipeline_incremental)
+        from thesis_ner_co_tri_training_spark.sources import catalog
+
+        recovered = None
+        prev = catalog.latest_snapshot(args.warehouse, "pages")
+        if prev is not None:
+            # crash recovery: if the last appended batch never reached the
+            # final stage, finish it first (its pages are already in the
+            # warehouse — resume by tag, no page regeneration)
+            edges_last = catalog.latest_snapshot(args.warehouse, "edges")
+            done = (edges_last is not None and
+                    edges_last.get("params", {}).get("pages_snapshot")
+                    == prev["snapshot_id"])
+            if not done:
+                recovered = prev["params"]["batch_tag"]
+                run_pipeline_incremental(spark, None, args.warehouse,
+                                         batch_tag=recovered)
+                prev = catalog.latest_snapshot(args.warehouse, "pages")
+        start = prev["row_count"] if prev else 0
+        n = args.append_pages
+        batch = gen_pages_df(spark, n, start=start)
+        t0 = time.time()
+        lineage = run_pipeline_incremental(
+            spark, batch, args.warehouse,
+            batch_tag=f"pages-{start}-{start + n}")
+        elapsed = time.time() - t0
+        print(json.dumps({
+            "batch_pages": n,
+            "batch_start": start,
+            "recovered_batch": recovered,
+            "total_pages": lineage["pages"]["row_count"],
+            "seconds": round(elapsed, 2),
+            "batch_docs_per_sec": round(n / elapsed, 2),
+            "stages": {
+                k: {"rows": v.get("row_count"),
+                    "added": v.get("added_rows"),
+                    "op": v.get("operation"),
+                    "resumed": v.get("resumed", False)}
+                for k, v in lineage.items()
+            },
+        }))
+        spark.stop()
+        return 0
+
     if args.input_warc:
         from thesis_ner_co_tri_training_spark.sources.warc import read_warc
 

@@ -134,55 +134,225 @@ def run_pipeline(
         ),
     )
 
-    def build_nodes():
-        # entity_type = majority tag over the entity's mentions (ties
-        # break lexicographically) — mention tables are long-form, so
-        # this is one keyed count + one row_number over the tiny
-        # (entity, tag) table.
-        from pyspark.sql import Window
+    stage("nodes", lambda: build_nodes_df(mentions, entities))
+    stage("edges", lambda: build_edges_df(triples, entities),
+          partition_by=["pred"])
+    return lineage
 
-        s2e = surface_to_entity(
-            mentions.select("surface").distinct(), entities
-        ).select("surface", "entity_id")
-        tag_counts = (
-            mentions.join(F.broadcast(s2e), "surface")
-            .groupBy("entity_id", "tag")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        w = Window.partitionBy("entity_id").orderBy(F.col("c").desc(), "tag")
-        etype = (
-            tag_counts.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("entity_id", F.col("tag").alias("entity_type"))
-        )
-        return entities.join(etype, "entity_id", "left").select(
-            "entity_id", "canonical", "entity_type", "n_mentions"
-        )
 
-    def build_edges():
-        subj_map = surface_to_entity(
-            triples.select(F.col("subj").alias("surface")), entities
-        ).select(
-            F.col("surface").alias("subj"),
-            F.col("entity_id").alias("subj_id"),
-            F.col("canonical").alias("subj_canonical"),
-        ).distinct()
-        obj_map = surface_to_entity(
-            triples.select(F.col("obj").alias("surface")), entities
-        ).select(
-            F.col("surface").alias("obj"),
-            F.col("entity_id").alias("obj_id"),
-            F.col("canonical").alias("obj_canonical"),
-        ).distinct()
-        return (
-            triples.join(F.broadcast(subj_map), "subj", "left")
-            .join(F.broadcast(obj_map), "obj", "left")
-            .select(
-                "subj_id", "subj_canonical", "pred", "obj_id", "obj_canonical",
-                "url", "sent_id", "confidence",
+def build_nodes_df(mentions: DataFrame, entities: DataFrame) -> DataFrame:
+    # entity_type = majority tag over the entity's mentions (ties
+    # break lexicographically) — mention tables are long-form, so
+    # this is one keyed count + one row_number over the tiny
+    # (entity, tag) table.
+    from pyspark.sql import Window
+
+    s2e = surface_to_entity(
+        mentions.select("surface").distinct(), entities
+    ).select("surface", "entity_id")
+    tag_counts = (
+        mentions.join(F.broadcast(s2e), "surface")
+        .groupBy("entity_id", "tag")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("entity_id").orderBy(F.col("c").desc(), "tag")
+    etype = (
+        tag_counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("entity_id", F.col("tag").alias("entity_type"))
+    )
+    return entities.join(etype, "entity_id", "left").select(
+        "entity_id", "canonical", "entity_type", "n_mentions"
+    )
+
+
+def build_edges_df(triples: DataFrame, entities: DataFrame) -> DataFrame:
+    subj_map = surface_to_entity(
+        triples.select(F.col("subj").alias("surface")), entities
+    ).select(
+        F.col("surface").alias("subj"),
+        F.col("entity_id").alias("subj_id"),
+        F.col("canonical").alias("subj_canonical"),
+    ).distinct()
+    obj_map = surface_to_entity(
+        triples.select(F.col("obj").alias("surface")), entities
+    ).select(
+        F.col("surface").alias("obj"),
+        F.col("entity_id").alias("obj_id"),
+        F.col("canonical").alias("obj_canonical"),
+    ).distinct()
+    return (
+        triples.join(F.broadcast(subj_map), "subj", "left")
+        .join(F.broadcast(obj_map), "obj", "left")
+        .select(
+            "subj_id", "subj_canonical", "pred", "obj_id", "obj_canonical",
+            "url", "sent_id", "confidence",
+        )
+    )
+
+
+def run_pipeline_incremental(
+    spark: SparkSession,
+    new_pages: DataFrame | None,
+    warehouse: str,
+    batch_tag: str,
+    params: dict[str, Any] | None = None,
+    shuffle_partitions: int | None = None,
+) -> dict[str, Any]:
+    """Process ONE new crawl batch through the DAG incrementally.
+
+    The Iceberg-incremental twin of run_pipeline, for the 10^12-document
+    north-rule table where "the crawl" arrives as appends:
+
+    - `pages` and every doc-local stage (sentences, sent_views, voted,
+      mentions, triples) APPEND a new snapshot computed from the batch
+      only — O(batch) work, never rescanning the already-processed
+      corpus. Each appended snapshot records `pages_snapshot` (the
+      pages snapshot it derives from) in its lineage params.
+    - The global stages (entities, nodes, edges) are recomputed over
+      the FULL appended mentions/triples as OVERWRITE snapshots:
+      cross-document canonicalization is a corpus-global fixpoint (a
+      new alias can merge two old entities), so per-batch work is
+      O(total mentions) — the mentions table is orders of magnitude
+      smaller than the pages it came from, which is what makes this
+      the right split at scale. Older snapshots stay time-travelable.
+
+    Exactly-once per batch, crash-resumable at stage granularity:
+    `batch_tag` identifies the batch; if the pages table's latest
+    snapshot already carries it, the pages append is skipped, and any
+    doc-local stage whose latest snapshot already derives from this
+    batch's pages snapshot is skipped too. A stage that crashed before
+    publishing recovers its input delta from the upstream table via
+    `read_incremental` — reruns of a completed batch are all-resumed
+    no-ops (tests/test_incremental.py).
+
+    Batch-vs-full parity: one full run over pages P and any batch
+    partition of P replayed through this function produce identical
+    row SETS in mentions/triples/nodes/edges — every stage is either
+    doc-local or a deterministic function of the full accumulated
+    table (pinned row-exactly in tests/test_incremental.py). Don't mix
+    the two modes on one warehouse unless the page sets are disjoint.
+    """
+    p = {**DEFAULT_PARAMS, **(params or {})}
+    n_shuffle = shuffle_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    lineage: dict[str, Any] = {}
+
+    # a batch_tag consumed by ANY earlier snapshot resumes that snapshot
+    # (replaying an old batch must never append its pages twice)
+    pages_snap = None
+    for snap in catalog.snapshots(warehouse, "pages"):
+        if snap.get("params", {}).get("batch_tag") == batch_tag:
+            pages_snap = snap
+            pages_snap["resumed"] = True
+            break
+    if pages_snap is None:
+        if new_pages is None:
+            raise ValueError(
+                f"batch_tag {batch_tag!r} not found in the pages history "
+                "and no new_pages given; pass new_pages=None only to "
+                "resume an already-appended batch")
+        pages_snap = catalog.write_table(
+            new_pages, warehouse, "pages",
+            stage_params={"batch_tag": batch_tag},
+            mode="append" if catalog.latest_snapshot(warehouse, "pages")
+            is not None else "overwrite",
+        )
+    batch_id = pages_snap["snapshot_id"]
+    lineage["pages"] = pages_snap
+
+    def delta_of(name: str, snap: dict[str, Any]) -> DataFrame:
+        """The rows a snapshot added (the batch's contribution)."""
+        parent = snap.get("parent_snapshot_id")
+        if parent is None:
+            return catalog.read_table(spark, warehouse, name,
+                                      snapshot_id=snap["snapshot_id"])
+        return catalog.read_incremental(
+            spark, warehouse, name,
+            from_snapshot=parent, to_snapshot=snap["snapshot_id"])
+
+    def append_stage(name: str, build_delta, partition_by=None) -> DataFrame:
+        """Append this batch's delta (exactly-once per batch); returns
+        the DELTA rows for the next stage, never the full table."""
+        last = catalog.latest_snapshot(warehouse, name)
+        if last and last.get("params", {}).get("pages_snapshot") == batch_id:
+            last["resumed"] = True
+            lineage[name] = last
+        else:
+            got = last.get("params", {}).get("pages_snapshot") if last else None
+            if got is not None and got != batch_id - 1:
+                raise ValueError(
+                    f"{name}: last processed pages snapshot is {got}, this "
+                    f"batch is {batch_id}; batches must be sequential "
+                    "(resume the missing batch by its tag first)")
+            snap = catalog.write_table(
+                build_delta(), warehouse, name, partition_by=partition_by,
+                stage_params={**p, "pages_snapshot": batch_id},
+                mode="append" if last is not None else "overwrite",
             )
-        )
+            lineage[name] = snap
+        return delta_of(name, lineage[name])
 
-    stage("nodes", build_nodes)
-    stage("edges", build_edges, partition_by=["pred"])
+    def global_stage(name: str, build, partition_by=None) -> DataFrame:
+        """Recompute over the full accumulated inputs; overwrite."""
+        last = catalog.latest_snapshot(warehouse, name)
+        if last and last.get("params", {}).get("pages_snapshot") == batch_id:
+            last["resumed"] = True
+            lineage[name] = last
+        else:
+            lineage[name] = catalog.write_table(
+                build(), warehouse, name, partition_by=partition_by,
+                stage_params={**p, "pages_snapshot": batch_id},
+                mode="overwrite", operation="replace",
+            )
+        return catalog.read_table(spark, warehouse, name)
+
+    pages_delta = delta_of("pages", pages_snap)
+    with_domain = lambda df: df.withColumn(
+        "domain", F.regexp_extract("url", r"https?://([^/]+)/", 1)
+    )
+
+    sentences_d = append_stage(
+        "sentences",
+        lambda: explode_sentences(pages_delta.select("url", "html")),
+    )
+    sent_views_d = append_stage(
+        "sent_views",
+        lambda: tag_sentences_df(sentences_d, flat=True),
+    )
+    voted_d = append_stage(
+        "voted",
+        lambda: vote_mentions(
+            sent_views_d, p["cos_threshold"], p["tcfd_threshold"],
+            p["scfd_threshold"]
+        ),
+    )
+    append_stage(
+        "mentions",
+        lambda: salted_repartition(
+            with_domain(mentions_table(voted_d)), "domain", n_shuffle,
+            p["salt"], salt_cols=["url", "sent_id"],
+        ).drop("domain"),
+    )
+    append_stage(
+        "triples",
+        lambda: extract_triples(voted_d),
+    )
+
+    mentions_full = catalog.read_table(spark, warehouse, "mentions")
+    triples_full = catalog.read_table(spark, warehouse, "triples")
+    entities = global_stage(
+        "entities",
+        lambda: canonicalize_entities(
+            mentions_full,
+            num_hashes=p["minhash_hashes"],
+            bands=p["lsh_bands"],
+            rows_per_band=p["lsh_rows_per_band"],
+            jaccard_threshold=p["jaccard_threshold"],
+        ),
+    )
+    global_stage("nodes", lambda: build_nodes_df(mentions_full, entities))
+    global_stage("edges", lambda: build_edges_df(triples_full, entities),
+                 partition_by=["pred"])
     return lineage

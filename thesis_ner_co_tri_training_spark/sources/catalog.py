@@ -132,7 +132,9 @@ def write_table(
     elapsed = time.time() - t0
 
     # Lineage metrics over the ADDED data only — O(added), not O(table).
-    back = df.sparkSession.read.parquet(out_dir)
+    # Explicit schema: an empty stage writes no part files, which would
+    # fail schema inference on read-back.
+    back = df.sparkSession.read.schema(df.schema).parquet(out_dir)
     parts = partition_metrics(back)
     added_rows = sum(p["rows"] for p in parts)
     added_files = _count_parquet_files(out_dir)
@@ -177,14 +179,30 @@ def _resolve_paths(warehouse: str, table: str,
     return [os.path.join(data_dir, r) for r in rels]
 
 
-def _read_paths(spark: SparkSession, paths: list[str]) -> DataFrame:
+def _read_paths(spark: SparkSession, paths: list[str],
+                schema_json: dict | None = None) -> DataFrame:
     """One scan per snap dir, unioned. Each dir is its own basePath so
     hive-style partition dirs beneath it are discovered (a single
     multi-path read refuses roots at different partition depths).
     Partition pruning + filter pushdown apply to every branch of the
     union (asserted in tests/test_catalog.py); appends therefore add
-    one scan node each — `compact_table` folds them back to one."""
-    dfs = [spark.read.option("basePath", p).parquet(p) for p in paths]
+    one scan node each — `compact_table` folds them back to one.
+
+    The manifest schema (when present) is applied explicitly: an empty
+    snapshot dir has no part files to infer from."""
+    schema = None
+    if schema_json is not None:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(schema_json)
+
+    def one(p: str) -> DataFrame:
+        r = spark.read.option("basePath", p)
+        if schema is not None:
+            r = r.schema(schema)
+        return r.parquet(p)
+
+    dfs = [one(p) for p in paths]
     out = dfs[0]
     for df in dfs[1:]:
         out = out.unionByName(df)
@@ -199,7 +217,8 @@ def read_table(spark: SparkSession, warehouse: str, table: str,
     if snap is None:
         # no metadata at all: legacy flat layout
         return spark.read.parquet(_data_dir(warehouse, table))
-    return _read_paths(spark, _resolve_paths(warehouse, table, snap))
+    return _read_paths(spark, _resolve_paths(warehouse, table, snap),
+                       schema_json=snap.get("schema"))
 
 
 def get_snapshot(warehouse: str, table: str,
@@ -243,7 +262,8 @@ def read_incremental(spark: SparkSession, warehouse: str, table: str,
         return read_table(spark, warehouse, table,
                           hi["snapshot_id"]).limit(0)
     data_dir = _data_dir(warehouse, table)
-    return _read_paths(spark, [os.path.join(data_dir, p) for p in new])
+    return _read_paths(spark, [os.path.join(data_dir, p) for p in new],
+                       schema_json=hi.get("schema"))
 
 
 def compact_table(spark: SparkSession, warehouse: str, table: str,
@@ -323,6 +343,12 @@ def table_complete(warehouse: str, table: str) -> bool:
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             return False
     return True
+
+
+def snapshots(warehouse: str, table: str) -> list[dict[str, Any]]:
+    """All snapshot records, oldest first (the table's history)."""
+    return [get_snapshot(warehouse, table, sid)
+            for sid in _snapshot_ids(warehouse, table)]
 
 
 def latest_snapshot(warehouse: str, table: str) -> dict[str, Any] | None:

@@ -154,8 +154,17 @@ def _page_rows(ids) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
 
-def gen_pages_df(spark: SparkSession, n_pages: int, partitions: int | None = None) -> DataFrame:
-    """Distributed deterministic generation (one row per page id)."""
+def gen_pages_df(spark: SparkSession, n_pages: int,
+                 partitions: int | None = None,
+                 start: int = 0) -> DataFrame:
+    """Distributed deterministic generation (one row per page id).
+
+    `start` offsets the id range: gen_pages_df(n, start=k) yields pages
+    k..k+n-1, byte-identical to the same ids from a single larger run —
+    the generator is a pure function of the page id, which is what lets
+    the incremental pipeline append "the next crawl batch" and compare
+    row-exactly against one full run (tests/test_incremental.py).
+    """
     if partitions is None:
         partitions = max(8, spark.sparkContext.defaultParallelism)
 
@@ -164,7 +173,7 @@ def gen_pages_df(spark: SparkSession, n_pages: int, partitions: int | None = Non
             yield _page_rows(pdf["id"].tolist())
 
     return (
-        spark.range(0, n_pages, numPartitions=partitions)
+        spark.range(start, start + n_pages, numPartitions=partitions)
         .mapInPandas(batch, schema=PAGES_SCHEMA)
     )
 
