@@ -1527,6 +1527,106 @@ def _q62_sql(iters: int = 5) -> str:
             + f"\nSELECT node, label FROM l{iters} ORDER BY node")
 
 
+def q63_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (textstats.chunk_documents):
+    24-token windows at stride 16 (overlapping) over every document —
+    the context-window/RAG prep op. All output columns are ints or
+    space-joined token strings, so the whole op is DuckDB-oracled via
+    generate_series + list_slice."""
+    from thesis_ner_co_tri_training_spark.operators.textstats import (
+        chunk_documents)
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        chunk_documents(docs, size=24, stride=16)
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+_Q63_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(str_split_regex(trim(text), '\\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+), base AS (
+    SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 1
+)
+, starts AS (
+    -- table-function generate_series can't take lateral column args;
+    -- the scalar list form range(1, n+1, stride) + unnest can
+    SELECT doc_id, t, n, unnest(range(1, n + 1, 16)) AS g FROM base
+)
+SELECT doc_id,
+       CAST((g - 1) // 16 AS BIGINT) AS chunk_id,
+       CAST(g AS BIGINT) AS start_token,
+       CAST(least(24, n - g + 1) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(t, g, least(g + 23, n)), ' ')
+           AS chunk_text
+FROM starts
+ORDER BY doc_id, chunk_id
+"""
+
+
+def q64_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-seeded random walks (plans/graph.random_walks,
+    node2vec-style walk corpus): 4 steps from every doc-graph source
+    node; step i at cur moves to the out-neighbor v minimizing
+    md5_long(start, 42, i, v). The md5 family makes every 'random'
+    choice engine-portable, so the whole walk loop is DuckDB-oracled
+    (q36/q37 portability contract applied to graph sampling)."""
+    from thesis_ner_co_tri_training_spark.plans.graph import random_walks
+
+    e = _doc_graph_edges(spark, sf_dir)
+    return random_walks(e, walk_len=4, src="a", dst="b",
+                        seed=42).orderBy("start")
+
+
+def _q64_sql(walk_len: int = 4, seed: int = 42) -> str:
+    """random_walks oracle: per round, the per-walk argmin over
+    out-neighbors by the md5_long hash (row_number, ties by v — the
+    60-bit hash makes ties vanishingly unlikely but the order pins it),
+    then a left join extends or carries the walk. MATERIALIZED per the
+    q47 reason."""
+    m = "AS MATERIALIZED"
+    edges = """
+        SELECT lpad(CAST(x.doc_id AS VARCHAR), 8, '0') AS u,
+               lpad(CAST(x.doc_id + 1 AS VARCHAR), 8, '0') AS v
+        FROM documents x
+        WHERE x.doc_id % 7 <> 6
+          AND EXISTS (SELECT 1 FROM documents i WHERE i.doc_id = x.doc_id + 1)
+        UNION ALL
+        SELECT lpad(CAST(x.doc_id AS VARCHAR), 8, '0'),
+               lpad(CAST(x.doc_id + 13 AS VARCHAR), 8, '0')
+        FROM documents x
+        WHERE x.doc_id % 50 = 0
+          AND EXISTS (SELECT 1 FROM documents i WHERE i.doc_id = x.doc_id + 13)
+    """
+    ctes = [
+        f"e {m} (SELECT DISTINCT u, v FROM ({edges}))",
+        f"w0 {m} (SELECT DISTINCT u AS start, u AS cur, u AS path, "
+        f"CAST(1 AS BIGINT) AS n_nodes FROM e)",
+    ]
+    for i in range(1, walk_len + 1):
+        p = i - 1
+        ctes.append(
+            f"p{i} {m} (SELECT start, v FROM ("
+            f"SELECT w.start, e.v, row_number() OVER ("
+            f"PARTITION BY w.start ORDER BY "
+            f"('0x' || substr(md5(w.start || '|{seed}|{i}|' || e.v), 1, 15))"
+            f"::BIGINT, e.v) AS rn "
+            f"FROM w{p} w JOIN e ON e.u = w.cur) WHERE rn = 1)")
+        ctes.append(
+            f"w{i} {m} (SELECT w.start, coalesce(p.v, w.cur) AS cur, "
+            f"CASE WHEN p.v IS NULL THEN w.path "
+            f"ELSE w.path || '>' || p.v END AS path, "
+            f"w.n_nodes + CASE WHEN p.v IS NULL THEN 0 ELSE 1 END AS n_nodes "
+            f"FROM w{p} w LEFT JOIN p{i} p ON p.start = w.start)")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT start, path, CAST(n_nodes AS BIGINT) AS n_nodes "
+              f"FROM w{walk_len} ORDER BY start")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1591,6 +1691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_value_intervals": q60_value_intervals,
         "q61_shortest_paths": q61_shortest_paths,
         "q62_label_propagation": q62_label_propagation,
+        "q63_doc_chunks": q63_doc_chunks,
+        "q64_random_walks": q64_random_walks,
     }
 
 
@@ -2739,4 +2841,6 @@ def oracle_sql() -> dict[str, str]:
         "q60_value_intervals": _Q60_SQL,
         "q61_shortest_paths": _q61_sql(),
         "q62_label_propagation": _q62_sql(),
+        "q63_doc_chunks": _Q63_SQL,
+        "q64_random_walks": _q64_sql(),
     }

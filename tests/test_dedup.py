@@ -395,3 +395,45 @@ def test_set_similarity_prefix_prunes(spark):
     n = docs.count()
     out = set_similarity_join(docs, threshold=0.9)
     assert out.count() < n * (n - 1) / 2
+
+
+def test_chunk_documents_edges(spark):
+    """Chunking contract: stride==size partitions, stride<size overlaps,
+    tail chunk shorter, whitespace-only doc emits nothing, reconstruction
+    of the token stream from a stride==size chunking is exact."""
+    from thesis_ner_co_tri_training_spark.operators.textstats import (
+        chunk_documents)
+
+    rows = [
+        (1, "a b c d e f g"),          # 7 tokens
+        (2, "  x   y\t z \n"),         # messy whitespace, 3 tokens
+        (3, "   \t  \n "),             # whitespace only -> no chunks
+        (4, "solo"),                    # 1 token
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # stride == size = 3: partition into [a b c][d e f][g]
+    part = chunk_documents(df, size=3, stride=3).orderBy(
+        "doc_id", "chunk_id").collect()
+    by_doc = {}
+    for r in part:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert [r.chunk_text for r in by_doc[1]] == ["a b c", "d e f", "g"]
+    assert [r.n_chunk_tokens for r in by_doc[1]] == [3, 3, 1]
+    assert [r.start_token for r in by_doc[1]] == [1, 4, 7]
+    assert [r.chunk_text for r in by_doc[2]] == ["x y z"]
+    assert 3 not in by_doc                      # no chunks for blank doc
+    assert [r.chunk_text for r in by_doc[4]] == ["solo"]
+    # reconstruction: concatenating a partition chunking = token stream
+    assert " ".join(r.chunk_text for r in by_doc[1]) == "a b c d e f g"
+
+    # stride 2 < size 4: overlapping windows at starts 1,3,5,7
+    ov = chunk_documents(df.filter("doc_id = 1"), size=4, stride=2).collect()
+    assert [(r.start_token, r.chunk_text) for r in
+            sorted(ov, key=lambda r: r.chunk_id)] == [
+        (1, "a b c d"), (3, "c d e f"), (5, "e f g"), (7, "g")]
+
+    import pytest
+
+    with pytest.raises(ValueError, match=">= 1"):
+        chunk_documents(df, size=0, stride=2)

@@ -313,3 +313,44 @@ def test_label_propagation_two_communities(spark):
             for r in label_propagation(df, iterations=5,
                                        src="s", dst="o").collect()}
     assert out == out2
+
+
+def test_random_walks_deterministic_and_correct(spark):
+    """Walks vs a pure-Python replay of the same hash-argmin rule:
+    fan-out choice, dead-end stop, full-length walk."""
+    import hashlib
+
+    from thesis_ner_co_tri_training_spark.plans.graph import random_walks
+
+    edges = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "a"), ("d", "e")]
+    # node e is a sink; walks from d hit it at step 2 and stop
+    df = spark.createDataFrame(edges, "s string, o string")
+    out = {r.start: (r.path, r.n_nodes)
+           for r in random_walks(df, walk_len=3, src="s", dst="o",
+                                 seed=7).collect()}
+
+    def md5_long(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+    expect = {}
+    for start in sorted(adj):
+        cur, path, n = start, start, 1
+        for i in range(1, 4):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            cur = min(nbrs, key=lambda v: (md5_long(f"{start}|7|{i}|{v}"), v))
+            path += ">" + cur
+            n += 1
+        expect[start] = (path, n)
+    assert out == expect
+    # dead-end walk is shorter than walk_len + 1
+    assert out["d"][1] < 4
+    # determinism across runs
+    out2 = {r.start: (r.path, r.n_nodes)
+            for r in random_walks(df, walk_len=3, src="s", dst="o",
+                                  seed=7).collect()}
+    assert out == out2

@@ -451,3 +451,55 @@ def prune_by_quality(docs: DataFrame, keep_frac: float = 0.5,
              ).alias("kept"),
         )
     )
+
+
+def chunk_documents(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", size: int = 64,
+                    stride: int = 48) -> DataFrame:
+    """Sliding-window token chunking — the context-window/RAG prep op a
+    training-data pipeline runs over every document.
+
+    Tokens are whitespace splits of the trimmed text (empty tokens
+    dropped). Chunks start at 1-based token positions 1, 1+stride,
+    1+2*stride, ... while the start is within the document; each chunk
+    takes `size` tokens (the tail chunk may be shorter). stride < size
+    gives overlapping windows (context continuity across chunk
+    boundaries); stride == size gives a partition. Zero-token documents
+    emit no chunks.
+
+    Output: (id, chunk_id 0-based, start_token 1-based, n_chunk_tokens,
+    chunk_text) — all engine-portable (ints + joined strings), so the
+    whole op is DuckDB-oracled (q63 via generate_series/list_slice).
+
+    Shape at scale: one narrow projection + one explode — no shuffle,
+    no Python; chunk count per row is bounded by n_tokens/stride, so
+    output size tracks corpus token count regardless of document-length
+    skew.
+    """
+    if size < 1 or stride < 1:
+        raise ValueError("chunk_documents: size and stride must be >= 1")
+    toks = F.filter(F.split(F.trim(F.col(text_col)), _WORD_SPLIT),
+                    lambda t: t != "")
+    base = (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .withColumn("__n", F.size("__t"))
+        .filter(F.col("__n") >= 1)
+    )
+    return (
+        base.select(
+            id_col, "__t", "__n",
+            F.explode(
+                F.sequence(F.lit(1), F.col("__n"), F.lit(stride))
+            ).alias("__g"),
+        )
+        .select(
+            F.col(id_col),
+            ((F.col("__g") - 1) / F.lit(stride)).cast("long")
+            .alias("chunk_id"),
+            F.col("__g").cast("long").alias("start_token"),
+            F.least(F.lit(size), F.col("__n") - F.col("__g") + 1)
+            .cast("long").alias("n_chunk_tokens"),
+            F.array_join(F.slice("__t", F.col("__g"), size), " ")
+            .alias("chunk_text"),
+        )
+    )

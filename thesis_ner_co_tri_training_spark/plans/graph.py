@@ -419,3 +419,68 @@ def label_propagation(edges: DataFrame, iterations: int = 5,
         if (i + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def random_walks(edges: DataFrame, walk_len: int = 4,
+                 src: str = "subj_id", dst: str = "obj_id",
+                 seed: int = 42, checkpoint_every: int = 5) -> DataFrame:
+    """Deterministic hash-seeded random walks (node2vec-style walk
+    corpus generation, the input to graph-embedding training). One walk
+    starts at every node with an out-edge; at step i the walk at `cur`
+    moves to the out-neighbor v minimizing md5_long(start, seed, i, v)
+    — a pure content hash, so the "random" choice is identical across
+    engines, retries and partition layouts (the reproducible-sampling
+    rule from operators/selection.mix_corpus applied to graph walks).
+    Dead ends simply stop extending (n_nodes < walk_len + 1).
+
+    Output: (start, path '>'-joined, n_nodes). Fully DuckDB-oracled
+    (q64): each round is one join + one per-walk argmin — the same
+    md5-family portability contract as q36/q37.
+
+    Shape at scale: per step ONE node-keyed join (cur -> out-neighbors)
+    + one per-walk min-aggregate; state is one row per walk. Hub skew:
+    a hot cur fans out to its out-degree candidates, aggregated
+    map-side per walk key. For N walks per node, add a walk_id column
+    to the hash (same plan shape, N x rows).
+    """
+    from ..functions.hashutil import md5_long
+
+    e = (
+        edges.select(F.col(src).cast("string").alias("u"),
+                     F.col(dst).cast("string").alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    walks = (
+        e.select(F.col("u").alias("start")).distinct()
+        .select("start", F.col("start").alias("cur"),
+                F.col("start").alias("path"),
+                F.lit(1).cast("long").alias("n_nodes"))
+    )
+    for i in range(1, walk_len + 1):
+        cand = walks.join(e, walks["cur"] == e["u"], "left")
+        pick = cand.groupBy("start", "cur", "path", "n_nodes").agg(
+            F.min(
+                F.when(
+                    F.col("v").isNotNull(),
+                    F.struct(
+                        md5_long(F.col("start"), F.lit(seed), F.lit(i),
+                                 F.col("v")).alias("h"),
+                        F.col("v"),
+                    ),
+                )
+            ).alias("__m")
+        )
+        walks = pick.select(
+            "start",
+            F.coalesce(F.col("__m.v"), F.col("cur")).alias("cur"),
+            F.when(F.col("__m").isNull(), F.col("path"))
+            .otherwise(F.concat_ws(">", "path", "__m.v")).alias("path"),
+            (F.col("n_nodes")
+             + F.when(F.col("__m").isNull(), 0).otherwise(1))
+            .cast("long").alias("n_nodes"),
+        )
+        if i % checkpoint_every == 0:
+            walks = walks.localCheckpoint(eager=True)
+    return walks.select("start", "path", "n_nodes")
