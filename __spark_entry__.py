@@ -1627,6 +1627,67 @@ def _q64_sql(walk_len: int = 4, seed: int = 42) -> str:
               f"FROM w{walk_len} ORDER BY start")
 
 
+def q65_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim repeated-span dedup (dedup.repeated_spans, the Lee et
+    al. 2021 substring-dedup op): 16-token stride-1 windows hashed with
+    md5_long; windows occurring >1 time anywhere in the corpus mark
+    their token range; overlapping/adjacent marks merge per doc into
+    maximal spans. Everything is BIGINT positions + the md5 hash
+    family, so the full path — window hashing, duplicate counting,
+    gaps-and-islands merge — is DuckDB-oracled."""
+    from thesis_ner_co_tri_training_spark.operators.dedup import (
+        repeated_spans)
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        repeated_spans(docs, window=16)
+        .orderBy("doc_id", "span_start")
+    )
+
+
+_Q65_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(str_split_regex(trim(text), '\\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+), base AS (
+    SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 16
+), wins AS (
+    SELECT doc_id, unnest(range(1, n - 16 + 2)) AS g, t FROM base
+), h AS (
+    SELECT doc_id, g,
+           ('0x' || substr(md5(array_to_string(
+                list_slice(t, g, g + 15), ' ')), 1, 15))::BIGINT AS h
+    FROM wins
+), dup AS (
+    SELECT h FROM h GROUP BY h HAVING count(*) > 1
+), m AS (
+    SELECT doc_id, g, g + 15 AS e FROM h WHERE h IN (SELECT h FROM dup)
+), brk AS (
+    SELECT doc_id, g, e,
+           CASE WHEN g > coalesce(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY g
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                -1) + 1 THEN 1 ELSE 0 END AS brk
+    FROM m
+), gi AS (
+    SELECT doc_id, g, e,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY g
+                          ROWS UNBOUNDED PRECEDING) AS island
+    FROM brk
+)
+SELECT doc_id,
+       CAST(min(g) AS BIGINT) AS span_start,
+       CAST(max(e) AS BIGINT) AS span_end,
+       CAST(max(e) - min(g) + 1 AS BIGINT) AS span_tokens,
+       CAST(count(*) AS BIGINT) AS n_dup_windows
+FROM gi
+GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1693,6 +1754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_label_propagation": q62_label_propagation,
         "q63_doc_chunks": q63_doc_chunks,
         "q64_random_walks": q64_random_walks,
+        "q65_repeated_spans": q65_repeated_spans,
     }
 
 
@@ -2843,4 +2905,5 @@ def oracle_sql() -> dict[str, str]:
         "q62_label_propagation": _q62_sql(),
         "q63_doc_chunks": _Q63_SQL,
         "q64_random_walks": _q64_sql(),
+        "q65_repeated_spans": _Q65_SQL,
     }

@@ -437,3 +437,52 @@ def test_chunk_documents_edges(spark):
 
     with pytest.raises(ValueError, match=">= 1"):
         chunk_documents(df, size=0, stride=2)
+
+
+def test_repeated_spans_merge_and_scope(spark):
+    """repeated_spans vs a pure-Python replay: cross-doc duplicate
+    windows mark both docs, intra-doc repeats count, overlapping and
+    adjacent marks merge into one maximal span, unique text emits
+    nothing."""
+    from thesis_ner_co_tri_training_spark.operators.dedup import (
+        repeated_spans)
+
+    boiler = "all rights reserved click here to subscribe"   # 8 tokens
+    rows = [
+        (1, f"alpha beta {boiler} gamma delta"),
+        (2, f"zeta {boiler} eta theta iota"),
+        (3, "totally unique text with no repeats at all whatsoever"),
+        # intra-doc repeat: the same 4-gram twice inside one doc
+        (4, "one two three four PAD one two three four"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repeated_spans(df, window=4).collect()
+    got = {(r.doc_id, r.span_start, r.span_end, r.span_tokens,
+            r.n_dup_windows) for r in out}
+
+    # pure-Python replay of the same rule
+    docs = {i: t.split() for i, t in rows}
+    from collections import Counter
+
+    cnt = Counter()
+    for t in docs.values():
+        for g in range(len(t) - 3):
+            cnt[" ".join(t[g:g + 4])] += 1
+    expect = set()
+    for i, t in docs.items():
+        marks = [(g + 1, g + 4) for g in range(len(t) - 3)
+                 if cnt[" ".join(t[g:g + 4])] > 1]
+        spans = []
+        for g, e in marks:                       # merge overlap/adjacent
+            if spans and g <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], e)
+                spans[-1][2] += 1
+            else:
+                spans.append([g, e, 1])
+        for g, e, n in spans:
+            expect.add((i, g, e, e - g + 1, n))
+    assert got == expect
+    assert not any(r.doc_id == 3 for r in out)   # unique doc untouched
+    # doc 4's intra-doc repeat produced two separate spans (PAD between)
+    assert sorted((r.span_start, r.span_end) for r in out
+                  if r.doc_id == 4) == [(1, 4), (6, 9)]

@@ -577,3 +577,102 @@ def near_dup_clusters(
             (F.coalesce("cluster_id", F.col(id_col)) == F.col(id_col)).alias("keep"),
         )
     )
+
+
+def repeated_spans(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", window: int = 16) -> DataFrame:
+    """Verbatim repeated-span detection — the suffix-array substring
+    dedup of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better") re-expressed for Spark: every
+    `window`-token sliding window (stride 1, whitespace tokens as in
+    textstats.chunk_documents) is hashed with md5_long; a window whose
+    hash occurs more than once ANYWHERE in the corpus (cross- or
+    intra-document) marks its token range [g, g+window-1] as
+    duplicated; per document, overlapping-or-adjacent marked ranges
+    merge into maximal spans (gaps-and-islands). Downstream, a cleaner
+    cuts those token ranges (keeping one canonical occurrence is a
+    policy choice layered on top — this op reports WHERE the verbatim
+    duplication is).
+
+    Output: (id, span_start 1-based, span_end inclusive, span_tokens,
+    n_dup_windows) — all BIGINT, fully DuckDB-oracled (q65).
+
+    Shape at scale: the stride-1 explode is one row per corpus token —
+    the honest cost of substring-level dedup (same cardinality as any
+    tokenize-explode); each row carries only (id, pos, 8-byte hash).
+    Duplicate detection is groupBy(hash).count, which map-side-combines
+    (a boilerplate window repeated 10^6 times collapses to one row per
+    mapper before the shuffle — this is why it is NOT a window count,
+    which would shuffle+sort every raw occurrence of a hot hash into
+    one task), then an inner hash-join back on the uniform 60-bit key
+    (AQE skew-split applies). The interval merge is one doc-keyed
+    window + one aggregate.
+    """
+    from ..functions.hashutil import md5_long
+
+    if window < 1:
+        raise ValueError("repeated_spans: window must be >= 1")
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda t: t != "")
+    base = (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .withColumn("__n", F.size("__t"))
+        .filter(F.col("__n") >= window)
+    )
+    wins = (
+        _widen(base)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(1), F.col("__n") - window + 1)
+            ).alias("__g"),
+            "__t",
+        )
+        .select(
+            F.col(id_col), "__g",
+            md5_long(
+                F.array_join(F.slice("__t", F.col("__g"), window), " ")
+            ).alias("__h"),
+        )
+    )
+    dup = (
+        wins.groupBy("__h").count()
+        .filter(F.col("count") > 1)
+        .select("__h", F.col("count").alias("__c"))
+    )
+    marked = wins.join(dup, "__h").select(
+        id_col, "__g", (F.col("__g") + window - 1).alias("__e")
+    )
+    from pyspark.sql import Window as W
+
+    w_doc = W.partitionBy(id_col).orderBy("__g")
+    prev_end = F.max("__e").over(
+        w_doc.rowsBetween(W.unboundedPreceding, -1))
+    gi = (
+        marked
+        .withColumn(
+            "__brk",
+            F.when(F.col("__g") > F.coalesce(prev_end, F.lit(-1)) + 1, 1)
+            .otherwise(0),
+        )
+        .withColumn(
+            "__island",
+            F.sum("__brk").over(w_doc.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        gi.groupBy(id_col, "__island")
+        .agg(
+            F.min("__g").alias("span_start"),
+            F.max("__e").alias("span_end"),
+            F.count("*").alias("n_dup_windows"),
+        )
+        .select(
+            id_col,
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long").alias("span_tokens"),
+            F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
+        )
+    )
