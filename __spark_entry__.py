@@ -1688,6 +1688,79 @@ ORDER BY doc_id, span_start
 """
 
 
+def q66_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup cleaning (dedup.cut_repeated_spans): every token
+    position covered by a q65 repeated span is cut and the survivors
+    re-joined — detect -> clean end-to-end. The cut itself is pure
+    higher-order functions over the doc's span array (no explode back
+    to token rows); the oracle replays the full q65 span pipeline and
+    cuts with the same nested-lambda filter in DuckDB."""
+    from thesis_ner_co_tri_training_spark.operators.dedup import (
+        cut_repeated_spans)
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        cut_repeated_spans(docs, window=16)
+        .orderBy("doc_id")
+    )
+
+
+_Q66_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(str_split_regex(trim(text), '\\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+), base AS (
+    SELECT doc_id, t, len(t) AS n FROM toks
+), wins AS (
+    SELECT doc_id, unnest(range(1, n - 16 + 2)) AS g, t
+    FROM base WHERE n >= 16
+), h AS (
+    SELECT doc_id, g,
+           ('0x' || substr(md5(array_to_string(
+                list_slice(t, g, g + 15), ' ')), 1, 15))::BIGINT AS h
+    FROM wins
+), dup AS (
+    SELECT h FROM h GROUP BY h HAVING count(*) > 1
+), m AS (
+    SELECT doc_id, g, g + 15 AS e FROM h WHERE h IN (SELECT h FROM dup)
+), brk AS (
+    SELECT doc_id, g, e,
+           CASE WHEN g > coalesce(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY g
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                -1) + 1 THEN 1 ELSE 0 END AS brk
+    FROM m
+), gi AS (
+    SELECT doc_id, g, e,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY g
+                          ROWS UNBOUNDED PRECEDING) AS island
+    FROM brk
+), spans AS (
+    SELECT doc_id, min(g) AS s, max(e) AS e
+    FROM gi GROUP BY doc_id, island
+), sp AS (
+    SELECT doc_id, list({'s': s, 'e': e}) AS l FROM spans GROUP BY doc_id
+), kept AS (
+    SELECT b.doc_id, b.t, b.n,
+           list_filter(range(1, b.n + 1),
+               i -> coalesce(len(list_filter(sp.l,
+                        s -> i >= s.s AND i <= s.e)) = 0, TRUE)) AS k
+    FROM base b LEFT JOIN sp ON sp.doc_id = b.doc_id
+)
+SELECT doc_id,
+       -- DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
+       coalesce(array_to_string(list_transform(k, i -> t[i]), ' '), '')
+           AS clean_text,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(len(k) AS BIGINT) AS n_kept,
+       CAST(n - len(k) AS BIGINT) AS n_cut
+FROM kept
+ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1755,6 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_doc_chunks": q63_doc_chunks,
         "q64_random_walks": q64_random_walks,
         "q65_repeated_spans": q65_repeated_spans,
+        "q66_cut_spans": q66_cut_spans,
     }
 
 
@@ -2906,4 +2980,5 @@ def oracle_sql() -> dict[str, str]:
         "q63_doc_chunks": _Q63_SQL,
         "q64_random_walks": _q64_sql(),
         "q65_repeated_spans": _Q65_SQL,
+        "q66_cut_spans": _Q66_SQL,
     }

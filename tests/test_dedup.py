@@ -486,3 +486,40 @@ def test_repeated_spans_merge_and_scope(spark):
     # doc 4's intra-doc repeat produced two separate spans (PAD between)
     assert sorted((r.span_start, r.span_end) for r in out
                   if r.doc_id == 4) == [(1, 4), (6, 9)]
+
+
+def test_cut_repeated_spans(spark):
+    """Cutting composes detection: boilerplate goes from every doc that
+    carries it (cut-ALL policy), unique docs survive verbatim (token
+    re-join), fully-duplicated docs end empty, and a caller-filtered
+    spans relation implements keep-first."""
+    from thesis_ner_co_tri_training_spark.operators.dedup import (
+        cut_repeated_spans, repeated_spans)
+
+    boiler = "all rights reserved click here to subscribe"
+    rows = [
+        (1, f"alpha beta {boiler} gamma delta"),
+        (2, f"zeta {boiler} eta theta iota"),
+        (3, "totally unique text with no repeats at all whatsoever"),
+        (4, "one two three four PAD one two three four"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in cut_repeated_spans(df, window=4).collect()}
+
+    assert out[1].clean_text == "alpha beta gamma delta"
+    assert out[2].clean_text == "zeta eta theta iota"
+    assert (out[1].n_cut, out[2].n_cut) == (7, 7)
+    assert out[3].clean_text == rows[2][1] and out[3].n_cut == 0
+    assert out[4].clean_text == "PAD"          # both intra-doc copies cut
+    assert out[5].clean_text == "" and out[5].n_tokens == 0
+    assert all(r.n_tokens == r.n_kept + r.n_cut for r in out.values())
+
+    # keep-first as a keeper rule layered on the spans relation:
+    # drop doc 1's spans from the cut -> doc 1 keeps its boiler copy
+    spans = repeated_spans(df, window=4).filter("doc_id <> 1")
+    kept = {r.doc_id: r.clean_text
+            for r in cut_repeated_spans(df, window=4,
+                                        spans=spans).collect()}
+    assert kept[1] == " ".join(rows[0][1].split())
+    assert kept[2] == "zeta eta theta iota"

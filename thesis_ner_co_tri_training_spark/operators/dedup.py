@@ -676,3 +676,57 @@ def repeated_spans(df: DataFrame, id_col: str = "doc_id",
             F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
         )
     )
+
+
+def cut_repeated_spans(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", window: int = 16,
+                       spans: DataFrame | None = None) -> DataFrame:
+    """Token-level span cutting — the cleaning half of substring dedup:
+    remove every token position covered by a repeated_spans span and
+    re-join the survivors with single spaces (token-level cleaning;
+    original whitespace is not preserved, matching chunk_documents'
+    token convention).
+
+    Policy: cut-ALL — every marked occurrence goes, including the
+    first. Keep-one-canonical-copy (Lee et al.'s policy) is a keeper
+    rule layered on the spans relation: filter `spans` down to the
+    occurrences you want cut and pass it in (the parameter exists for
+    exactly that), the cutting mechanics are identical.
+
+    Output: (id, clean_text, n_tokens bef, n_kept, n_cut) — portable,
+    DuckDB-oracled end-to-end through q65's span pipeline (q66).
+
+    Shape at scale: spans-per-doc is tiny (merged maximal intervals),
+    so the cut is one span groupBy + one doc-keyed join, then pure
+    JVM higher-order functions: filter tokens by position with a
+    nested exists over the doc's span array — no explode back to
+    token rows, no Python, no extra shuffle.
+    """
+    if spans is None:
+        spans = repeated_spans(df, id_col, text_col, window)
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__sp")
+    )
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda t: t != "")
+    base = df.select(F.col(id_col), toks.alias("__t"))
+    j = base.join(sp, id_col, "left")
+
+    def _covered(i):
+        return F.coalesce(
+            F.exists(
+                "__sp",
+                lambda s: (i + 1 >= s["span_start"])
+                & (i + 1 <= s["span_end"]),
+            ),
+            F.lit(False),
+        )
+
+    kept = F.filter("__t", lambda t, i: ~_covered(i))
+    return j.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size("__t").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size("__t") - F.size(kept)).cast("long").alias("n_cut"),
+    )
