@@ -1761,6 +1761,92 @@ ORDER BY doc_id
 """
 
 
+def q67_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup against a persisted MinHash index
+    (dedup.dedup_against_index): the corpus is split into an 'old'
+    accumulated corpus (doc_id % 5 <> 0) whose minhash_bands relation
+    plays the persisted index, and a 'new' crawl batch (doc_id % 5 = 0)
+    matched against it — band join + exact 3-gram Jaccard verify, never
+    a within-corpus self-join. md5 hash family end-to-end, so the whole
+    incremental path is DuckDB-oracled."""
+    from thesis_ner_co_tri_training_spark.operators.dedup import (
+        dedup_against_index, minhash_bands)
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter("doc_id % 5 <> 0")
+    new = docs.filter("doc_id % 5 = 0")
+    idx = minhash_bands(old, num_hashes=16, bands=4, hasher="md5")
+    return (
+        dedup_against_index(new, idx, old, num_hashes=16, bands=4,
+                            max_bucket=64, threshold=0.8, hasher="md5")
+        .orderBy("a", "b")
+    )
+
+
+def _q67_sql(num_hashes: int = 16, bands: int = 4, max_bucket: int = 64,
+             threshold: float = 0.8) -> str:
+    """dedup_against_index oracle: per-doc signatures are split-invariant,
+    so sig is computed once over all documents and banded rows are split
+    into old (index) and new (batch) afterwards; the skew guard counts
+    OLD buckets only, matching the operator."""
+    rpb = num_hashes // bands
+    h = lambda expr: f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+    mins = ",\n".join(
+        "min(" + h(f"s || '|{i}'") + f") AS h{i}" for i in range(num_hashes)
+    )
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, "
+        + h("'" + str(b) + "' || '|' || "
+            + " || '|' || ".join(
+                f"CAST(h{b * rpb + r} AS VARCHAR)" for r in range(rpb)))
+        + " AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT d.doc_id, d.t[g.i] || ' ' || d.t[g.i+1] || ' ' || d.t[g.i+2] AS s
+            FROM toks d,
+                 LATERAL (SELECT unnest(generate_series(1, len(d.t) - 2)) AS i) g
+        ),
+        sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+        banded AS ({band_rows}),
+        oldb AS (SELECT * FROM banded WHERE doc_id % 5 <> 0),
+        newb AS (SELECT * FROM banded WHERE doc_id % 5 = 0),
+        sizes AS (SELECT band, bucket, count(*) AS c FROM oldb GROUP BY 1, 2),
+        kept AS (
+            SELECT b.* FROM oldb b JOIN sizes z
+            ON z.band = b.band AND z.bucket = b.bucket AND z.c <= {max_bucket}
+        ),
+        cand AS (
+            SELECT DISTINCT nw.doc_id AS a, o.doc_id AS b
+            FROM newb nw JOIN kept o
+            ON nw.band = o.band AND nw.bucket = o.bucket
+        ),
+        shd AS (SELECT DISTINCT doc_id, s FROM sh),
+        counts AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+        inter AS (
+            SELECT c.a, c.b, count(*) AS i
+            FROM cand c
+            JOIN shd x ON x.doc_id = c.a
+            JOIN shd y ON y.doc_id = c.b AND y.s = x.s
+            GROUP BY c.a, c.b
+        )
+        SELECT i.a, i.b,
+               round(CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i), 4) AS jaccard
+        FROM inter i
+        JOIN counts ca ON ca.doc_id = i.a
+        JOIN counts cb ON cb.doc_id = i.b
+        WHERE round(CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i), 4)
+              >= {threshold}
+        ORDER BY a, b
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1829,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_random_walks": q64_random_walks,
         "q65_repeated_spans": q65_repeated_spans,
         "q66_cut_spans": q66_cut_spans,
+        "q67_dedup_incremental": q67_dedup_incremental,
     }
 
 
@@ -2981,4 +3068,5 @@ def oracle_sql() -> dict[str, str]:
         "q64_random_walks": _q64_sql(),
         "q65_repeated_spans": _Q65_SQL,
         "q66_cut_spans": _Q66_SQL,
+        "q67_dedup_incremental": _q67_sql(),
     }

@@ -523,3 +523,47 @@ def test_cut_repeated_spans(spark):
                                         spans=spans).collect()}
     assert kept[1] == " ".join(rows[0][1].split())
     assert kept[2] == "zeta eta theta iota"
+
+
+def test_dedup_against_index_matches_selfjoin(spark):
+    """Incremental dedup vs the whole-corpus self-join ground truth:
+    matching a new batch against the old corpus's persisted band index
+    finds exactly the cross (new, old) pairs that minhash_lsh_pairs +
+    jaccard verify find over old+new combined (bucket sizes below the
+    skew guard, so the two guards coincide)."""
+    from thesis_ner_co_tri_training_spark.operators.dedup import (
+        dedup_against_index, minhash_bands, minhash_lsh_pairs,
+        ngram_jaccard_pairs)
+
+    base = ("the quick brown fox jumps over the lazy dog while "
+            "a very long sentence keeps adding more and more words")
+    rows = [
+        (1, base), (2, base + " tail"),                # old near-dups
+        (3, "completely different content about spark plans"),
+        (10, base + " extra"),                         # new ~ old 1/2
+        (11, "nothing like anything else in this corpus at all"),
+    ]
+    old = spark.createDataFrame(rows[:3], "doc_id long, text string")
+    new = spark.createDataFrame(rows[3:], "doc_id long, text string")
+    kw = dict(num_hashes=16, bands=8, hasher="md5")
+
+    idx = minhash_bands(old, **kw)
+    inc = {(r.a, r.b, r.jaccard)
+           for r in dedup_against_index(new, idx, old, threshold=0.5,
+                                        max_bucket=64, **kw).collect()}
+    assert inc and all(a >= 10 and b < 10 for a, b, _ in inc)
+
+    both = old.unionByName(new)
+    pairs = minhash_lsh_pairs(both, max_bucket=64, **kw)
+    full = {(b, a, j) for a, b, j in
+            ((r.a, r.b, r.jaccard) for r in
+             ngram_jaccard_pairs(both, pairs, threshold=0.5).collect())
+            if b >= 10 and a < 10}
+    assert inc == full
+
+    # an all-novel batch matches nothing
+    novel = spark.createDataFrame(
+        [(20, "entirely fresh words never seen before anywhere")],
+        "doc_id long, text string")
+    assert dedup_against_index(novel, idx, old, threshold=0.5,
+                               max_bucket=64, **kw).count() == 0

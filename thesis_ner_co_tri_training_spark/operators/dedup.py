@@ -112,29 +112,18 @@ def token_shingles(df: DataFrame, id_col: str = "doc_id",
     )
 
 
-def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text", n: int = 3,
-                      num_hashes: int = 32, bands: int = 8,
-                      max_bucket: int = 64,
-                      hasher: str = "xxhash64") -> DataFrame:
-    """Candidate near-duplicate doc pairs via minhash banding.
-
-    rows_per_band = num_hashes // bands; collision prob ~ 1-(1-s^r)^b.
-
-    hasher="xxhash64" (default): the fast JVM hash — value-checked
-    locally by the pure-Python XXH64 oracle (tests/xxh64.py).
-    hasher="md5": 60-bit ints from the md5 hex prefix — slower, but
-    byte-reproducible in ANY engine with md5 (the DuckDB-oracled
-    contract variant, q36); conv(hex,16,10) on 15 hex digits stays
-    inside a signed 64-bit value.
-
-    Skew guard (`max_bucket`): buckets larger than max_bucket are dropped
-    before the pair join — an oversized bucket is non-discriminative
-    (boilerplate/template collisions) and would produce |B|^2 pairs; the
-    standard production mitigation is to skip it (the pairs it would
-    contribute are almost all false positives the verify step would
-    reject anyway). Dropped-bucket counts should be surfaced in stage
-    metrics when used inside the pipeline.
+def minhash_bands(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3,
+                  num_hashes: int = 32, bands: int = 8,
+                  hasher: str = "xxhash64") -> DataFrame:
+    """Banded minhash rows (id, band, bucket) — the persistable LSH
+    index relation. minhash_lsh_pairs self-joins this for within-corpus
+    dedup; dedup_against_index writes it out once per corpus (via
+    catalog.write_table) and joins each new crawl batch's bands against
+    it, so an incremental batch pays O(batch) hashing instead of an
+    O(corpus) recompute. hasher/n/num_hashes/bands are part of the index
+    schema contract — a batch matched against an index built with
+    different parameters silently finds nothing.
     """
     rows_per_band = num_hashes // bands
     # Long-form shingles + codegen'd min aggregates instead of per-row
@@ -170,7 +159,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     # at corpus scale this is exactly the table a production LSH job
     # writes out before banding.
     sig = sig.localCheckpoint(eager=True)
-    banded = sig.select(
+    return sig.select(
         F.col(id_col),
         F.posexplode(F.array(*[
             _bhash(b, [F.col(f"h{b * rows_per_band + r}")
@@ -178,6 +167,34 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
             for b in range(bands)
         ])).alias("band", "bucket"),
     )
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      num_hashes: int = 32, bands: int = 8,
+                      max_bucket: int = 64,
+                      hasher: str = "xxhash64") -> DataFrame:
+    """Candidate near-duplicate doc pairs via minhash banding.
+
+    rows_per_band = num_hashes // bands; collision prob ~ 1-(1-s^r)^b.
+
+    hasher="xxhash64" (default): the fast JVM hash — value-checked
+    locally by the pure-Python XXH64 oracle (tests/xxh64.py).
+    hasher="md5": 60-bit ints from the md5 hex prefix — slower, but
+    byte-reproducible in ANY engine with md5 (the DuckDB-oracled
+    contract variant, q36); conv(hex,16,10) on 15 hex digits stays
+    inside a signed 64-bit value.
+
+    Skew guard (`max_bucket`): buckets larger than max_bucket are dropped
+    before the pair join — an oversized bucket is non-discriminative
+    (boilerplate/template collisions) and would produce |B|^2 pairs; the
+    standard production mitigation is to skip it (the pairs it would
+    contribute are almost all false positives the verify step would
+    reject anyway). Dropped-bucket counts should be surfaced in stage
+    metrics when used inside the pipeline.
+    """
+    banded = minhash_bands(df, id_col, text_col, n, num_hashes, bands,
+                           hasher)
     sizes = banded.groupBy("band", "bucket").count()
     banded = (
         banded.join(sizes.filter(F.col("count") <= max_bucket), ["band", "bucket"])
@@ -730,3 +747,54 @@ def cut_repeated_spans(df: DataFrame, id_col: str = "doc_id",
         F.size(kept).cast("long").alias("n_kept"),
         (F.size("__t") - F.size(kept)).cast("long").alias("n_cut"),
     )
+
+
+def dedup_against_index(new_docs: DataFrame, index: DataFrame,
+                        old_docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        num_hashes: int = 32, bands: int = 8,
+                        max_bucket: int = 64, threshold: float = 0.8,
+                        hasher: str = "xxhash64") -> DataFrame:
+    """Incremental near-dup dedup of a crawl batch against the
+    accumulated corpus: `index` is minhash_bands(old corpus) persisted
+    once (catalog.write_table) and re-read per batch, so each batch pays
+    O(batch) shingle hashing + one band-keyed join against the index —
+    never an O(corpus) signature recompute or a within-corpus self-join.
+    This is the batch twin of streaming/ingest's recrawl dedup, for
+    history beyond any watermark.
+
+    new_docs and old_docs must have disjoint ids (crawl batches mint new
+    ids); within-batch duplicates are minhash_lsh_pairs(new_docs)'s job.
+    The skew guard drops oversized INDEX buckets (boilerplate buckets;
+    non-discriminative, as in minhash_lsh_pairs) — the batch side is
+    small by construction. num_hashes/bands/n/hasher must match the
+    index build (part of the index schema contract).
+
+    Output: (a = new id, b = old id, jaccard round-4) — verified exact
+    n-gram Jaccard >= threshold, same verify as ngram_jaccard_pairs.
+    Fully DuckDB-oracled with hasher="md5" (q67).
+    """
+    sizes = index.groupBy("band", "bucket").count()
+    idx = (
+        index.join(sizes.filter(F.col("count") <= max_bucket),
+                   ["band", "bucket"])
+        .drop("count")
+    )
+    new_b = minhash_bands(new_docs, id_col, text_col, n, num_hashes,
+                          bands, hasher)
+    cand = (
+        new_b.alias("l").join(
+            idx.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket")),
+        )
+        .select(F.col(f"l.{id_col}").alias("a"),
+                F.col(f"r.{id_col}").alias("b"))
+        .distinct()
+    )
+    corpus = (
+        new_docs.select(id_col, text_col)
+        .unionByName(old_docs.select(id_col, text_col))
+    )
+    return ngram_jaccard_pairs(corpus, cand, id_col, text_col, n,
+                               threshold)
