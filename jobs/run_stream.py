@@ -3,7 +3,7 @@
     python jobs/package.py
     spark-submit --py-files dist/engine.zip jobs/run_stream.py \
         --input /tmp/kg_pages_in --out /tmp/kg_stream \
-        [--what mentions|triples] [--pages 300] [--max-files 4]
+        [--what mentions|triples|sessions|neardups] [--pages 300] [--max-files 4]
 
 Watches `--input` for new parquet page files and appends mentions (or
 triples) exactly-once to `--out/data` with Structured Streaming's own
@@ -30,7 +30,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--out", required=True)
-    ap.add_argument("--what", choices=["mentions", "triples", "sessions"],
+    ap.add_argument("--what",
+                    choices=["mentions", "triples", "sessions", "neardups"],
                     default="mentions")
     ap.add_argument("--pages", type=int, default=0,
                     help="seed the input dir with N synthetic pages first")
@@ -56,11 +57,46 @@ def main() -> int:
     # sessions: stateful session_window with watermark — append mode
     # emits each watermark-closed session exactly once; still-open
     # sessions ride the state store into the next run.
-    stream = {
-        "mentions": mentions_stream,
-        "triples": triples_stream,
-        "sessions": sessions_stream,
-    }[args.what](pages)
+    if args.what == "neardups":
+        # Stream-static dedup against a PERSISTED corpus index: the
+        # historical corpus here is a mirror-host copy of the seeded
+        # pages (disjoint urls, identical text — the classic recrawl/
+        # mirror case), its minhash band index + shingle table written
+        # once under --out and re-read as static tables; every arriving
+        # page is matched against that history with zero stream state
+        # beyond the watermark horizon (ingest.dedup_against_index_stream).
+        from pyspark.sql import functions as F
+
+        from thesis_ner_co_tri_training_spark.operators.dedup import (
+            minhash_bands, token_shingles)
+        from thesis_ner_co_tri_training_spark.sources.pages import (
+            gen_pages_df)
+        from thesis_ner_co_tri_training_spark.streaming.ingest import (
+            dedup_against_index_stream)
+
+        idx_dir = os.path.join(args.out, "index")
+        sh_dir = os.path.join(args.out, "old_shingles")
+        if not os.path.exists(idx_dir):
+            hist = gen_pages_df(spark, max(args.pages, 100)).select(
+                F.regexp_replace(
+                    "url", "^https://", "https://mirror."
+                ).alias("url"),
+                "text",
+            )
+            minhash_bands(hist, id_col="url").write.parquet(idx_dir)
+            token_shingles(hist, id_col="url").write.parquet(sh_dir)
+        stream = dedup_against_index_stream(
+            pages.select("url", "text", "warc_ts"),
+            spark.read.parquet(idx_dir),
+            spark.read.parquet(sh_dir),
+            id_col="url",
+        )
+    else:
+        stream = {
+            "mentions": mentions_stream,
+            "triples": triples_stream,
+            "sessions": sessions_stream,
+        }[args.what](pages)
 
     t0 = time.time()
     q = (

@@ -567,3 +567,27 @@ def test_dedup_against_index_matches_selfjoin(spark):
         "doc_id long, text string")
     assert dedup_against_index(novel, idx, old, threshold=0.5,
                                max_bucket=64, **kw).count() == 0
+
+
+def test_minhash_bands_narrow_identical(spark):
+    """The zero-shuffle per-row banding emits EXACTLY the rows of the
+    exploded groupBy form, for both hash families (the property that
+    makes stream-side banding interoperable with a batch-built index)."""
+    from thesis_ner_co_tri_training_spark.operators.dedup import (
+        minhash_bands, minhash_bands_narrow)
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different words in this one here"),
+        (4, "tiny"),                       # < n tokens -> no rows
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for hasher in ("xxhash64", "md5"):
+        a = {tuple(r) for r in minhash_bands(
+            df, num_hashes=16, bands=4, hasher=hasher).collect()}
+        b = {tuple(r) for r in minhash_bands_narrow(
+            df, num_hashes=16, bands=4, hasher=hasher).collect()}
+        assert a == b and a
+        assert not any(r[0] in (4, 5) for r in a)

@@ -179,3 +179,64 @@ def _batch_mentions_n(spark, n_pages: int) -> int:
     pages = gen_pages_df(spark, n_pages, partitions=2)
     voted = vote_mentions(tag_sentences_df(explode_sentences(pages.drop("text"))))
     return mentions_table(voted).count()
+
+
+def test_dedup_against_index_stream_matches_batch(spark, tmp_path):
+    """Stream-static dedup vs the batch operator on the same data: the
+    arriving batch matched against a static index finds exactly the
+    batch-path (a, b, jaccard) rows, exactly once despite per-band
+    candidate multiplicity and a restart."""
+    import datetime
+
+    from thesis_ner_co_tri_training_spark.operators.dedup import (
+        dedup_against_index, minhash_bands, token_shingles)
+    from thesis_ner_co_tri_training_spark.streaming.ingest import (
+        dedup_against_index_stream)
+
+    base = ("the quick brown fox jumps over the lazy dog while "
+            "a very long sentence keeps adding more and more words")
+    old_rows = [(1, base), (2, base + " tail"),
+                (3, "completely different content about spark plans")]
+    new_rows = [(10, base + " extra"),
+                (11, "nothing like anything else in this corpus at all")]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    kw = dict(num_hashes=16, bands=8, hasher="md5")
+    index = minhash_bands(old, **kw).localCheckpoint(eager=True)
+    old_sh = token_shingles(old).localCheckpoint(eager=True)
+
+    d = str(tmp_path / "docs_stream")
+    ts = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    spark.createDataFrame(
+        [(i, t, ts) for i, t in new_rows],
+        "doc_id long, text string, warc_ts timestamp",
+    ).write.mode("append").parquet(d)
+
+    stream = dedup_against_index_stream(
+        spark.readStream.schema(
+            "doc_id long, text string, warc_ts timestamp").parquet(d),
+        index, old_sh, threshold=0.5, **kw)
+    assert stream.isStreaming
+    out = str(tmp_path / "dups_out")
+    ckpt = str(tmp_path / "dups_ckpt")
+    q = (stream.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r.a, r.b, r.jaccard)
+           for r in spark.read.parquet(out).collect()}
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    expect = {(r.a, r.b, r.jaccard)
+              for r in dedup_against_index(new, index, old,
+                                           threshold=0.5, **kw).collect()}
+    assert got == expect and got
+    # exactly-once: a rerun with nothing new appended adds no rows
+    q2 = (dedup_against_index_stream(
+            spark.readStream.schema(
+                "doc_id long, text string, warc_ts timestamp").parquet(d),
+            index, old_sh, threshold=0.5, **kw)
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == len(expect)

@@ -59,6 +59,40 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _shingle_expr(n: int) -> str:
+    """SQL expr building the word-n-gram shingle array from a token
+    array named __t — the single shared tokenize-to-shingles recipe
+    (token_shingles_long's exploded form and minhash_bands_narrow's
+    per-row form must hash identical strings)."""
+    return (
+        f"transform(sequence(0, size(__t) - {n}), "
+        f"i -> concat_ws(' ', slice(__t, i + 1, {n})))"
+    )
+
+
+def _hash_fns(hasher: str):
+    """(shash, bhash) for a hash family: shash(col, i) hashes one
+    shingle under seed i; bhash(b, cols) hashes a band's signature
+    slice. Shared by minhash_bands and minhash_bands_narrow — the byte
+    recipe is the cross-engine oracle contract (hashutil docstring)."""
+    if hasher == "md5":
+        from ..functions.hashutil import md5_long
+
+        def shash(c, i: int) -> F.Column:
+            return md5_long(c, F.lit(str(i)))
+
+        def bhash(b: int, cols: list) -> F.Column:
+            return md5_long(F.lit(str(b)), *[c.cast("string") for c in cols])
+    else:
+        def shash(c, i: int) -> F.Column:
+            return F.xxhash64(c, F.lit(i))
+
+        def bhash(b: int, cols: list) -> F.Column:
+            return F.xxhash64(F.lit(b), *cols)
+
+    return shash, bhash
+
+
 def token_shingles_long(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         distinct: bool = True) -> DataFrame:
@@ -82,10 +116,7 @@ def token_shingles_long(df: DataFrame, id_col: str = "doc_id",
     toks = _widen(
         df.select(id_col, F.split(NORM(F.col(text_col)), " ").alias("__t"))
     )
-    shingle = (
-        f"transform(sequence(0, size(__t) - {n}), "
-        f"i -> concat_ws(' ', slice(__t, i + 1, {n})))"
-    )
+    shingle = _shingle_expr(n)
     out = toks.select(
         id_col,
         F.explode(F.when(F.size("__t") >= n, F.expr(shingle))
@@ -133,24 +164,11 @@ def minhash_bands(df: DataFrame, id_col: str = "doc_id",
     # distinct=False: min() is duplicate-insensitive, so the shingle
     # dedup shuffle would be pure waste here. (The shingle helper's own
     # _widen already spreads undersized local scans to full width.)
-    if hasher == "md5":
-        from ..functions.hashutil import md5_long
-
-        def _shash(i: int) -> F.Column:
-            return md5_long(F.col("s"), F.lit(str(i)))
-
-        def _bhash(b: int, cols: list) -> F.Column:
-            return md5_long(F.lit(str(b)), *[c.cast("string") for c in cols])
-    else:
-        def _shash(i: int) -> F.Column:
-            return F.xxhash64("s", F.lit(i))
-
-        def _bhash(b: int, cols: list) -> F.Column:
-            return F.xxhash64(F.lit(b), *cols)
+    _shash, _bhash = _hash_fns(hasher)
 
     ex = token_shingles_long(df, id_col, text_col, n, distinct=False)
     sig = ex.groupBy(id_col).agg(*[
-        F.min(_shash(i)).alias(f"h{i}") for i in range(num_hashes)
+        F.min(_shash(F.col("s"), i)).alias(f"h{i}") for i in range(num_hashes)
     ])
     # Materialize the signature table: `banded` below is referenced three
     # times (bucket sizes + both join sides), and without a cut Spark
@@ -798,3 +816,65 @@ def dedup_against_index(new_docs: DataFrame, index: DataFrame,
     )
     return ngram_jaccard_pairs(corpus, cand, id_col, text_col, n,
                                threshold)
+
+
+def minhash_bands_narrow(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", n: int = 3,
+                         num_hashes: int = 32, bands: int = 8,
+                         hasher: str = "xxhash64",
+                         keep: tuple = (),
+                         keep_shingles: bool = False) -> DataFrame:
+    """Per-row, ZERO-shuffle twin of minhash_bands — identical output
+    rows (pinned by test): h_i = array_min(transform(shingles,
+    s -> hash(s, i))) equals the exploded groupBy-min because both are
+    the min of the same hashed multiset; band hashes then use the same
+    _hash_fns recipe. Docs shorter than n tokens emit no rows, as in
+    the exploded form.
+
+    Because there is no aggregation, this form runs UNCHANGED on a
+    stream — no state, no watermark — which is what makes stream-static
+    dedup against a persisted index possible (streaming.ingest.
+    dedup_against_index_stream). `keep` passes through extra columns
+    (e.g. the event-time column); `keep_shingles` adds the distinct
+    shingle array (token_shingles semantics) so a downstream verify can
+    compute exact Jaccard without rejoining the stream.
+
+    Trade: num_hashes array traversals per row instead of one shuffle.
+    In a micro-batch, or when the corpus scan is already wide, that is
+    the right trade; for bulk index builds prefer minhash_bands (its
+    exploded form partial-aggregates map-side and its signature table
+    localCheckpoints for reuse).
+    """
+    rows_per_band = num_hashes // bands
+    shash, bhash = _hash_fns(hasher)
+    toks = df.select(
+        id_col, *keep, F.split(NORM(F.col(text_col)), " ").alias("__t")
+    )
+    sh = toks.select(
+        id_col, *keep,
+        F.when(F.size("__t") >= n, F.expr(_shingle_expr(n)))
+        .otherwise(F.array().cast("array<string>")).alias("__sh"),
+    )
+    # NB: the transform lambda must be single-argument — a two-arg
+    # lambda would make Spark bind the second parameter to the array
+    # INDEX, silently replacing the seed.
+    def _minhash(i: int) -> F.Column:
+        return F.array_min(F.transform("__sh", lambda s: shash(s, i)))
+
+    extra = (
+        [F.array_distinct("__sh").alias("shingles")] if keep_shingles
+        else []
+    )
+    sig = sh.filter(F.size("__sh") > 0).select(
+        id_col, *keep, *extra,
+        *[_minhash(i).alias(f"h{i}") for i in range(num_hashes)],
+    )
+    out_extra = ["shingles"] if keep_shingles else []
+    return sig.select(
+        F.col(id_col), *keep, *out_extra,
+        F.posexplode(F.array(*[
+            bhash(b, [F.col(f"h{b * rows_per_band + r}")
+                      for r in range(rows_per_band)])
+            for b in range(bands)
+        ])).alias("band", "bucket"),
+    )

@@ -164,3 +164,74 @@ def dedup_pages_stream(pages: DataFrame, watermark: str = "2 hours") -> DataFram
     return pages.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
         ["url"]
     )
+
+
+def dedup_against_index_stream(
+    docs: DataFrame,
+    index: DataFrame,
+    old_shingles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    watermark: str = "2 hours",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int = 64,
+    threshold: float = 0.8,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Stream-static near-dup matching against the persisted corpus
+    index — the streaming twin of operators.dedup.dedup_against_index,
+    covering history BEYOND any watermark (dedup_pages_stream's
+    recrawl dedup only sees the watermark horizon).
+
+    `index` = minhash_bands(old corpus) and `old_shingles` =
+    token_shingles(old corpus), both STATIC tables read from the
+    warehouse (built once per corpus snapshot; same num_hashes/bands/
+    n/hasher — the index schema contract). The stream side bands each
+    arriving doc with the ZERO-state per-row form
+    (minhash_bands_narrow, pinned row-identical to the batch builder),
+    so the whole path is: narrow banding -> stream-static equi-join on
+    (band, bucket) -> per-row exact-Jaccard verify against the old
+    doc's static shingle set -> watermarked dedup of the per-band
+    match multiplicity. State is only the (new, old) pairs inside the
+    watermark horizon.
+
+    Output: (a = new id, b = old id, jaccard round-4, ts_col) — same
+    row contract as dedup_against_index, batch-parity pinned by test.
+    """
+    from ..operators.dedup import minhash_bands_narrow
+
+    sizes = index.groupBy("band", "bucket").count()
+    idx = (
+        index.join(sizes.filter(F.col("count") <= max_bucket),
+                   ["band", "bucket"])
+        .drop("count")
+        .select(F.col(id_col).alias("b"), "band", "bucket")
+    )
+    new_b = minhash_bands_narrow(
+        docs, id_col, text_col, n, num_hashes, bands, hasher,
+        keep=(ts_col,), keep_shingles=True,
+    ).select(
+        F.col(id_col).alias("a"), F.col(ts_col),
+        F.col("shingles").alias("sh_a"), "band", "bucket",
+    )
+    cand = new_b.join(idx, ["band", "bucket"]).join(
+        old_shingles.select(F.col(id_col).alias("b"),
+                            F.col("shingles").alias("sh_b")),
+        "b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    verified = (
+        cand.withColumn(
+            "jaccard",
+            F.round(F.when(union == 0, 0.0).otherwise(inter / union), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard", ts_col)
+    )
+    return verified.withWatermark(
+        ts_col, watermark
+    ).dropDuplicatesWithinWatermark(["a", "b"])
