@@ -1,0 +1,213 @@
+"""spark-submit entry: persisted-MinHash-index dedup lifecycle.
+
+    python jobs/package.py
+    spark-submit --py-files dist/engine.zip jobs/run_dedup.py \
+        --warehouse /tmp/kg_dedup --init 400 --cpus 8
+    spark-submit ... jobs/run_dedup.py --warehouse /tmp/kg_dedup --append 200
+
+--init N: seed the corpus with N synthetic pages and build the three
+catalog tables the incremental path needs — `dedup_docs` (url, text),
+`dedup_index` (minhash_bands: url, band, bucket) and `dedup_shingles`
+(url, distinct shingle set). The index parameters (hasher/n/num_hashes/
+bands) are recorded in the snapshot lineage: they are the index schema
+contract, and --append reads them back rather than trusting its own
+defaults.
+
+--append N: ingest the next crawl batch — N new pages plus a recrawl
+tail (mirror-host copies of N//5 existing pages: different url,
+identical text, the classic case incremental dedup must catch). The
+batch is matched against the CURRENT index snapshot with
+dedup_against_index (O(batch) hashing + one band join — never a corpus
+self-join or signature recompute), matches land in `dedup_matches`
+(append snapshot tagged by the batch), and the batch's own bands/
+shingles/docs are appended to the index tables so the NEXT batch sees
+this one as history. Exactly-once per batch: a rerun whose batch tag is
+already everywhere reports `"resumed": true` and writes nothing.
+
+Crash recovery: matches are written FIRST, so a crash mid-append can
+only leave docs/index/shingles missing a tag that matches already has.
+Every --append run starts with a repair pass — each batch tag recorded
+in `dedup_matches` but absent from one of the three maintenance tables
+is regenerated (batches are pure functions of their recorded start/
+size) and the missing appends are replayed, per-table idempotent. Only
+then does the new batch run, so the index a batch is matched against
+never silently misses history.
+
+Every run asserts index parity: the accumulated `dedup_index` table
+must equal minhash_bands(all docs) row-for-row — append maintenance
+and full rebuild are interchangeable (cheap at smoke scale; at corpus
+scale this is an audit job, not a per-batch gate).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+INDEX_PARAMS = dict(n=3, num_hashes=32, bands=8, hasher="xxhash64")
+
+
+def _docs_from_pages(pages):
+    return pages.select("url", "text")
+
+
+def _mirror(pages, tag: str):
+    from pyspark.sql import functions as F
+
+    return pages.select(
+        F.regexp_replace("url", "^https://",
+                         f"https://{tag}.mirror.").alias("url"),
+        "text",
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--init", type=int, default=0)
+    ap.add_argument("--append", type=int, default=0)
+    ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+    if bool(args.init) == bool(args.append):
+        ap.error("exactly one of --init N / --append N required")
+
+    from thesis_ner_co_tri_training_spark.operators.dedup import (
+        dedup_against_index, minhash_bands, token_shingles)
+    from thesis_ner_co_tri_training_spark.session import get_spark
+    from thesis_ner_co_tri_training_spark.sources.catalog import (
+        latest_snapshot, read_table, snapshots, write_table)
+    from thesis_ner_co_tri_training_spark.sources.pages import gen_pages_df
+
+    spark = get_spark("kg_dedup", cpus=args.cpus)
+    wh = args.warehouse
+    t0 = time.time()
+
+    if args.init:
+        docs = _docs_from_pages(gen_pages_df(spark, args.init))
+        kw = dict(INDEX_PARAMS)
+        params = {**kw, "next_start": args.init}
+        write_table(docs, wh, "dedup_docs", stage_params=params)
+        write_table(
+            minhash_bands(docs, id_col="url", **kw), wh, "dedup_index",
+            stage_params=params)
+        write_table(
+            token_shingles(docs, id_col="url", n=kw["n"]), wh,
+            "dedup_shingles", stage_params=params)
+        out = {
+            "op": "init",
+            "docs": args.init,
+            "index_rows": read_table(spark, wh, "dedup_index").count(),
+        }
+    else:
+        doc_snap = latest_snapshot(wh, "dedup_docs")
+        if doc_snap is None:
+            print(json.dumps({"error": "run --init first"}))
+            return 1
+        kw = {k: doc_snap["params"][k] for k in INDEX_PARAMS}
+
+        def _tags(table):
+            return {s["params"].get("batch_tag") for s in snapshots(wh, table)
+                    if s["params"].get("batch_tag")}
+
+        def _regen_batch(b_start, n_fresh, tag):
+            fresh = _docs_from_pages(
+                gen_pages_df(spark, n_fresh, start=b_start))
+            recrawl = _mirror(
+                _docs_from_pages(gen_pages_df(spark, max(n_fresh // 5, 1))),
+                tag)
+            return fresh.unionByName(recrawl).localCheckpoint(eager=True)
+
+        def _maintain(batch, params):
+            """Append the batch to each maintenance table that does not
+            carry its tag yet (per-table idempotent)."""
+            tag = params["batch_tag"]
+            did = []
+            if tag not in _tags("dedup_docs"):
+                write_table(batch, wh, "dedup_docs", stage_params=params,
+                            mode="append", operation="append")
+                did.append("dedup_docs")
+            if tag not in _tags("dedup_index"):
+                write_table(minhash_bands(batch, id_col="url", **kw), wh,
+                            "dedup_index", stage_params=params,
+                            mode="append", operation="append")
+                did.append("dedup_index")
+            if tag not in _tags("dedup_shingles"):
+                write_table(token_shingles(batch, id_col="url", n=kw["n"]),
+                            wh, "dedup_shingles", stage_params=params,
+                            mode="append", operation="append")
+                did.append("dedup_shingles")
+            return did
+
+        # repair pass: any batch recorded in matches but missing from a
+        # maintenance table is replayed (batches regenerate exactly from
+        # their recorded start/size)
+        repaired = []
+        for s in snapshots(wh, "dedup_matches"):
+            p = s["params"]
+            tag = p.get("batch_tag")
+            if not tag:
+                continue
+            if (tag not in _tags("dedup_docs")
+                    or tag not in _tags("dedup_index")
+                    or tag not in _tags("dedup_shingles")):
+                batch = _regen_batch(p["start"], p["n_fresh"], tag)
+                repaired += _maintain(batch, p)
+
+        doc_snap = latest_snapshot(wh, "dedup_docs")
+        start = doc_snap["params"]["next_start"]
+        batch_tag = f"batch-{start}"
+        if batch_tag in _tags("dedup_matches"):
+            out = {
+                "op": "append", "batch_tag": batch_tag, "resumed": True,
+                "repaired": repaired,
+                "matches_total":
+                    read_table(spark, wh, "dedup_matches").count(),
+            }
+        else:
+            batch = _regen_batch(start, args.append, batch_tag)
+            index = read_table(spark, wh, "dedup_index")
+            old_docs = read_table(spark, wh, "dedup_docs")
+            matches = dedup_against_index(
+                batch, index, old_docs, id_col="url",
+                threshold=args.threshold, **kw)
+            params = {"batch_tag": batch_tag, "start": start,
+                      "n_fresh": args.append, **kw,
+                      "next_start": start + args.append}
+            # matches FIRST: the repair pass's order invariant
+            m_rows = write_table(matches, wh, "dedup_matches",
+                                 stage_params=params, mode="append",
+                                 operation="append")["row_count"]
+            _maintain(batch, params)
+            out = {
+                "op": "append", "batch_tag": batch_tag, "resumed": False,
+                "repaired": repaired,
+                "batch_docs": batch.count(), "batch_matches": m_rows,
+                "matches_total":
+                    read_table(spark, wh, "dedup_matches").count(),
+            }
+
+    # audit: appended index == full rebuild over the accumulated docs
+    kw_audit = kw if not args.init else INDEX_PARAMS
+    all_docs = read_table(spark, wh, "dedup_docs")
+    rebuilt = minhash_bands(all_docs, id_col="url", **kw_audit)
+    idx_now = read_table(spark, wh, "dedup_index")
+    out["index_rows"] = idx_now.count()
+    out["index_parity"] = (
+        idx_now.exceptAll(rebuilt).isEmpty()
+        and rebuilt.exceptAll(idx_now).isEmpty()
+    )
+    out["seconds"] = round(time.time() - t0, 2)
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
