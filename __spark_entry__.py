@@ -1847,6 +1847,118 @@ def _q67_sql(num_hashes: int = 16, bands: int = 4, max_bucket: int = 64,
     """
 
 
+_Q68_URL_CASE = """
+    CASE doc_id % 5
+      WHEN 0 THEN 'HTTP://WWW.Site' || CAST(doc_id % 20 AS STRING)
+           || '.Example.COM:80/p/' || CAST(doc_id AS STRING)
+           || '?b=2&utm_source=x&a=1#frag'
+      WHEN 1 THEN 'https://Site' || CAST(doc_id % 20 AS STRING)
+           || '.example.co.uk:443/' || CAST(doc_id AS STRING)
+           || '?gclid=1&z=9&a='
+      WHEN 2 THEN 'https://www.site' || CAST(doc_id % 20 AS STRING)
+           || '.example.com:8443/a/b'
+      WHEN 3 THEN 'http://site' || CAST(doc_id % 20 AS STRING)
+           || '.example.com'
+      ELSE 'page ' || CAST(doc_id AS STRING) || ' has no url'
+    END
+"""
+
+
+def q68_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registrable-domain extraction
+    (functions/urlnorm.py): messy crawl URLs are synthesized
+    deterministically from doc_id (case-shifted hosts, default and
+    non-default ports, tracking params, fragments, missing paths, and
+    unparseable passthroughs), then canonicalized and keyed by
+    registrable domain — the url-identity and domain-partitioning ops a
+    crawl pipeline runs before any url-keyed dedup. Pure string/array
+    expressions, DuckDB-oracled step for step."""
+    from thesis_ner_co_tri_training_spark.functions.urlnorm import (
+        canonical_url, registrable_domain)
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", F.expr(_Q68_URL_CASE).alias("url"))
+    c = raw.select(
+        "doc_id", canonical_url(F.col("url")).alias("canon_url"))
+    host = F.regexp_extract(
+        "canon_url", r"^[a-z][a-z0-9+.\-]*://([^/:?#]*)", 1)
+    return c.select(
+        "doc_id", "canon_url",
+        F.when(host == "", F.lit("")).otherwise(
+            registrable_domain(host)).alias("domain"),
+    ).orderBy("doc_id")
+
+
+# DuckDB spells the same canonicalization spec step for step (CASE
+# branches and regexes are byte-identical; DuckDB's array_to_string([])
+# is NULL where Spark's array_join([]) is '', hence the coalesce).
+_Q68_SQL = f"""
+WITH raw AS (
+    SELECT doc_id, {_Q68_URL_CASE.replace("AS STRING", "AS VARCHAR")} AS url
+    FROM documents
+), nofrag AS (
+    -- fragment FIRST: a '?' inside the fragment is not a query
+    SELECT doc_id, url, regexp_replace(url, '#.*', '') AS u FROM raw
+), p AS (
+    SELECT doc_id, url,
+           lower(regexp_extract(u,
+                 '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+           regexp_extract(u,
+                 '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1) AS auth,
+           regexp_extract(u,
+                 '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1)
+               AS path0,
+           regexp_extract(u, '\\?(.*)', 1) AS rawq
+    FROM nofrag
+), q AS (
+    SELECT *,
+           regexp_replace(lower(regexp_replace(auth, ':[0-9]+$', '')),
+                          '^(www\\.)+', '') AS host,
+           regexp_extract(auth, ':([0-9]+)$', 1) AS port
+    FROM p
+), r AS (
+    SELECT *,
+           CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                     OR (scheme = 'https' AND port = '443')
+                THEN host ELSE host || ':' || port END AS hostport,
+           CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+           coalesce(array_to_string(list_sort(list_filter(
+               string_split(rawq, '&'),
+               x -> x <> '' AND NOT starts_with(x, 'utm_')
+                    AND NOT list_contains(['fbclid', 'gclid', 'ref'],
+                                          string_split(x, '=')[1])
+           )), '&'), '') AS qq
+    FROM q
+), c AS (
+    SELECT doc_id,
+           CASE WHEN scheme = '' OR auth = '' THEN url
+                ELSE scheme || '://' || hostport || path
+                     || CASE WHEN qq = '' THEN '' ELSE '?' || qq END
+           END AS canon_url
+    FROM r
+), d AS (
+    SELECT doc_id, canon_url,
+           regexp_extract(canon_url,
+                 '^[a-z][a-z0-9+.\\-]*://([^/:?#]*)', 1) AS h
+    FROM c
+), lab AS (
+    SELECT doc_id, canon_url, h, string_split(h, '.') AS l FROM d
+)
+SELECT doc_id, canon_url,
+       CASE WHEN h = '' THEN ''
+            WHEN len(l) < 2 THEN h
+            WHEN len(l) >= 3
+                 AND list_contains(['co','com','net','org','ac','gov',
+                                    'edu'], l[-2])
+                 AND length(l[-1]) = 2
+                THEN array_to_string(l[-3:], '.')
+            ELSE array_to_string(l[-2:], '.')
+       END AS domain
+FROM lab
+ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1916,6 +2028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_repeated_spans": q65_repeated_spans,
         "q66_cut_spans": q66_cut_spans,
         "q67_dedup_incremental": q67_dedup_incremental,
+        "q68_canonical_urls": q68_canonical_urls,
     }
 
 
@@ -3069,4 +3182,5 @@ def oracle_sql() -> dict[str, str]:
         "q65_repeated_spans": _Q65_SQL,
         "q66_cut_spans": _Q66_SQL,
         "q67_dedup_incremental": _q67_sql(),
+        "q68_canonical_urls": _Q68_SQL,
     }
