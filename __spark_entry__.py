@@ -1959,6 +1959,73 @@ ORDER BY doc_id
 """
 
 
+def q69_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (plans/graph.hits_fixedpoint): 8
+    integer-scaled iterations over the q30/q49 doc graph. Scores are
+    BIGINTs L1-normalized each half-step by integer division — the q47
+    portability recipe applied to Kleinberg's link analysis, so every
+    round is DuckDB-oracled exactly. Nodes with no in-edges surface
+    authority 0; chain tails (no out-edge) hub 0."""
+    from thesis_ner_co_tri_training_spark.plans.graph import (
+        hits_fixedpoint)
+
+    e = _doc_graph_edges(spark, sf_dir)
+    return (
+        hits_fixedpoint(e, iterations=8, src="a", dst="b")
+        .orderBy("node")
+    )
+
+
+def _q69_sql(iters: int = 8, scale: int = 10**6) -> str:
+    """hits_fixedpoint oracle: unrolled a/h rounds, each one keyed
+    join+sum plus a total for the integer L1 normalization.
+    MATERIALIZED per the q47 reason (each round references the previous
+    twice)."""
+    m = "AS MATERIALIZED"
+    edges = """
+        SELECT lpad(CAST(x.doc_id AS VARCHAR), 8, '0') AS src,
+               lpad(CAST(x.doc_id + 1 AS VARCHAR), 8, '0') AS dst
+        FROM documents x
+        WHERE x.doc_id % 7 <> 6
+          AND EXISTS (SELECT 1 FROM documents i WHERE i.doc_id = x.doc_id + 1)
+        UNION ALL
+        SELECT lpad(CAST(x.doc_id AS VARCHAR), 8, '0'),
+               lpad(CAST(x.doc_id + 13 AS VARCHAR), 8, '0')
+        FROM documents x
+        WHERE x.doc_id % 50 = 0
+          AND EXISTS (SELECT 1 FROM documents i WHERE i.doc_id = x.doc_id + 13)
+    """
+    ctes = [
+        f"e {m} (SELECT DISTINCT src, dst FROM ({edges}))",
+        f"nodes {m} (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"h0 {m} (SELECT node, CAST({scale} AS BIGINT) AS hub FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(
+            f"ar{k} {m} (SELECT e.dst AS node, sum(h.hub) AS s "
+            f"FROM e JOIN h{p} h ON h.node = e.src GROUP BY e.dst)")
+        ctes.append(f"at{k} {m} (SELECT sum(s) AS t FROM ar{k})")
+        ctes.append(
+            f"a{k} {m} (SELECT n.node, "
+            f"CAST(coalesce(r.s, 0) * {scale} // t.t AS BIGINT) "
+            f"AS authority FROM nodes n "
+            f"LEFT JOIN ar{k} r ON r.node = n.node, at{k} t)")
+        ctes.append(
+            f"hr{k} {m} (SELECT e.src AS node, sum(a.authority) AS s "
+            f"FROM e JOIN a{k} a ON a.node = e.dst GROUP BY e.src)")
+        ctes.append(f"ht{k} {m} (SELECT sum(s) AS t FROM hr{k})")
+        ctes.append(
+            f"h{k} {m} (SELECT n.node, "
+            f"CAST(coalesce(r.s, 0) * {scale} // t.t AS BIGINT) AS hub "
+            f"FROM nodes n "
+            f"LEFT JOIN hr{k} r ON r.node = n.node, ht{k} t)")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT h.node, h.hub, a.authority "
+              f"FROM h{iters} h JOIN a{iters} a ON a.node = h.node "
+              f"ORDER BY h.node")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2029,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_cut_spans": q66_cut_spans,
         "q67_dedup_incremental": q67_dedup_incremental,
         "q68_canonical_urls": q68_canonical_urls,
+        "q69_hits": q69_hits,
     }
 
 
@@ -3183,4 +3251,5 @@ def oracle_sql() -> dict[str, str]:
         "q66_cut_spans": _Q66_SQL,
         "q67_dedup_incremental": _q67_sql(),
         "q68_canonical_urls": _Q68_SQL,
+        "q69_hits": _q69_sql(),
     }

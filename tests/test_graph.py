@@ -354,3 +354,37 @@ def test_random_walks_deterministic_and_correct(spark):
             for r in random_walks(df, walk_len=3, src="s", dst="o",
                                   seed=7).collect()}
     assert out == out2
+
+
+def test_hits_fixedpoint_replay_and_semantics(spark):
+    """hits_fixedpoint vs a pure-Python replay of the same integer
+    recurrence, plus Kleinberg semantics: a page linking to every
+    authority is the top hub, a page linked by every hub the top
+    authority."""
+    from thesis_ner_co_tri_training_spark.plans.graph import hits_fixedpoint
+
+    # hubs h1,h2 both point at authorities x,y; h1 also points at z
+    edges = [("h1", "x"), ("h1", "y"), ("h1", "z"),
+             ("h2", "x"), ("h2", "y")]
+    df = spark.createDataFrame(edges, "s string, o string")
+    out = {r.node: (r.hub, r.authority)
+           for r in hits_fixedpoint(df, iterations=6, src="s",
+                                    dst="o").collect()}
+
+    scale = 10**6
+    nodes = sorted({u for e in edges for u in e})
+    h = {u: scale for u in nodes}
+    for _ in range(6):
+        ar = {u: sum(h[s] for s, d in edges if d == u) for u in nodes}
+        t = sum(ar.values())
+        a = {u: ar[u] * scale // t for u in nodes}
+        hr = {u: sum(a[d] for s, d in edges if s == u) for u in nodes}
+        t = sum(hr.values())
+        h = {u: hr[u] * scale // t for u in nodes}
+    assert out == {u: (h[u], a[u]) for u in nodes}
+
+    hubs = {u: v[0] for u, v in out.items()}
+    auths = {u: v[1] for u, v in out.items()}
+    assert max(hubs, key=hubs.get) == "h1"          # links to all three
+    assert hubs["x"] == 0 and auths["h1"] == 0      # pure sink / source
+    assert auths["x"] == auths["y"] > auths["z"]    # two hubs vs one

@@ -240,3 +240,32 @@ def test_dedup_against_index_stream_matches_batch(spark, tmp_path):
           .outputMode("append").trigger(availableNow=True).start())
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == len(expect)
+
+
+def test_dedup_pages_stream_canonical_merges_variants(spark, tmp_path):
+    """canonical=True collapses syntactic refetch variants (tracking
+    params, case-shifted host, fragment) into one state entry while raw
+    url dedup would keep both copies."""
+    from pyspark.sql import functions as F
+
+    from thesis_ner_co_tri_training_spark.streaming import (
+        dedup_pages_stream)
+
+    d = str(tmp_path / "variants")
+    base = gen_pages_df(spark, 6, partitions=2)
+    base.write.mode("append").parquet(d)
+    # redelivery under a tracking-param + fragment variant of each url
+    base.withColumn(
+        "url", F.concat("url", F.lit("?utm_source=feed#top"))
+    ).write.mode("append").parquet(d)
+
+    def run(canonical: bool, name: str) -> int:
+        pages = read_pages_stream(spark, d, max_files_per_trigger=2)
+        q = (dedup_pages_stream(pages, canonical=canonical)
+             .writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark.sql(f"SELECT count(*) c FROM {name}").collect()[0]["c"]
+
+    assert run(False, "v_raw") == 12       # raw urls differ -> both kept
+    assert run(True, "v_canon") == 6       # canonical key merges them

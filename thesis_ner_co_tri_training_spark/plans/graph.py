@@ -484,3 +484,78 @@ def random_walks(edges: DataFrame, walk_len: int = 4,
         if i % checkpoint_every == 0:
             walks = walks.localCheckpoint(eager=True)
     return walks.select("start", "path", "n_nodes")
+
+
+def hits_fixedpoint(edges: DataFrame, iterations: int = 8,
+                    src: str = "subj_id", dst: str = "obj_id",
+                    scale: int = 10**6,
+                    checkpoint_every: int = 1) -> DataFrame:
+    """Deterministic integer-scaled HITS (hubs & authorities,
+    Kleinberg) — the link-analysis complement to PageRank for KG
+    curation: authorities = entities many hub pages point at, hubs =
+    pages that point at many authorities.
+
+    Scores are BIGINTs in units of 1/scale, L1-normalized each half-step
+    by integer division (x * scale DIV total), so every operation is an
+    order-independent integer sum or division — byte-reproducible in any
+    engine (the q47 portability recipe; q69 DuckDB-oracles all rounds).
+    Per iteration: TWO keyed join+aggregate steps (authority from
+    in-neighbors' hubs, hub from out-neighbors' authorities) and two
+    1-row normalization aggregates joined back by broadcast — no driver
+    collect in the loop. Duplicate edges collapse (simple digraph).
+
+    checkpoint_every defaults to 1 (tighter than pagerank's 5): each
+    score relation is referenced TWICE downstream (its normalization
+    total and the next half-step's join), so uncut lineage re-expands
+    ~2x per half-step — 8 uncut rounds audit at 135 shuffles vs ~4
+    per round with the per-iteration cut. The node-score table is one
+    row per node, so the materialization is the cheap side of that
+    trade at any scale.
+
+    Output: (node, hub, authority). Nodes with no in-edges get
+    authority 0; no out-edges -> hub 0.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct().localCheckpoint(eager=True)
+
+    def _norm(raw: DataFrame, col: str) -> DataFrame:
+        """nodes left-joined with raw scores, L1-normalized to `scale`
+        by integer division (broadcast 1-row total; total > 0 whenever
+        the graph has at least one edge)."""
+        total = raw.agg(F.sum(col).alias("__tot"))
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "node",
+                F.expr(f"CAST((coalesce({col}, 0) * {scale}) DIV __tot "
+                       f"AS BIGINT)").alias(col),
+            )
+        )
+
+    h = nodes.select("node", F.lit(scale).cast("long").alias("hub"))
+    a = None
+    for i in range(1, iterations + 1):
+        a_raw = (
+            e.join(h, e["src"] == h["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("authority"))
+        )
+        a = _norm(a_raw, "authority")
+        h_raw = (
+            e.join(a, e["dst"] == a["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("authority").alias("hub"))
+        )
+        h = _norm(h_raw, "hub")
+        if i % checkpoint_every == 0:
+            h = h.localCheckpoint(eager=True)
+            a = a.localCheckpoint(eager=True)
+    return h.join(a, "node").select("node", "hub", "authority")

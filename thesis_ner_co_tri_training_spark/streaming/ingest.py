@@ -151,7 +151,8 @@ def sessions_stream(
                          ts_col="warc_ts")
 
 
-def dedup_pages_stream(pages: DataFrame, watermark: str = "2 hours") -> DataFrame:
+def dedup_pages_stream(pages: DataFrame, watermark: str = "2 hours",
+                       canonical: bool = False) -> DataFrame:
     """Cross-micro-batch recrawl dedup on url.
 
     A crawl feed re-delivers pages (refetches, mirror hosts, retried
@@ -160,9 +161,22 @@ def dedup_pages_stream(pages: DataFrame, watermark: str = "2 hours") -> DataFram
     expires entries once the warc_ts watermark passes them — the state
     store holds only the horizon's urls (bounded), not crawl history,
     which is the only dedup shape that survives an unbounded stream.
+
+    canonical=True keys the state on urlnorm.canonical_url(url) instead
+    of the raw string, so syntactic refetch variants (case-shifted
+    host, default port, fragment, tracking params, shuffled query) hit
+    ONE state entry; the emitted row keeps its original url. The key
+    column is narrow per-row JVM work — no change to the state shape.
     """
-    return pages.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
-        ["url"]
+    wm = pages.withWatermark("warc_ts", watermark)
+    if not canonical:
+        return wm.dropDuplicatesWithinWatermark(["url"])
+    from ..functions.urlnorm import canonical_url
+
+    return (
+        wm.withColumn("__canon", canonical_url(F.col("url")))
+        .dropDuplicatesWithinWatermark(["__canon"])
+        .drop("__canon")
     )
 
 
