@@ -1,9 +1,11 @@
 from .ingest import (  # noqa: F401
+    dedup_against_index_stream,
     dedup_pages_stream,
     mention_rates_stream,
     mentions_stream,
     read_pages_stream,
+    sessions_stream,
     start_mentions_sink,
+    triples_stream,
 )
 from .stateful import domain_mention_state_stream  # noqa: F401
-from .ingest import triples_stream  # noqa: F401
