@@ -69,7 +69,9 @@ def test_extract_features_real_and_fallback(spark):
             assert r["decode_error"] is None
             want = image_features(decode_image(gen_ppm(16, 12, seed=i)), 8)
             assert all(abs(a - b) < 1e-6 for a, b in zip(r["feat"], want))
-        else:  # audio/video: recorded error + deterministic fallback
+        elif i % 3 == 1:  # audio rows: REAL PCM WAV decode, no error
+            assert r["decode_error"] is None
+        else:  # video: recorded error + deterministic fallback
             assert "native codec" in r["decode_error"] or "decode" in r["decode_error"]
             payload = hashlib.sha256(f"media-{i}".encode()).digest() * 8
             want = _fake_features(payload, 8)
@@ -101,3 +103,41 @@ def test_frame_sample_plan_counts(spark):
     for i in want_ids:
         duration = 1000 + i
         assert sorted(got[i]) == list(range(0, duration + 1, 500))
+
+
+def test_wav_decode_and_features(spark):
+    """Real PCM WAV decode: a known sine decodes to ~0.5/sqrt(2) RMS in
+    every window, truncated/exotic payloads record decode_error, and
+    gen_media_df's audio rows now take the REAL decode path (no error)."""
+    import numpy as np
+
+    from thesis_ner_co_tri_training_spark.operators.multimodal import (
+        _decode_wav, audio_features, extract_features, gen_media_df,
+        gen_wav)
+
+    samples, sr = _decode_wav(gen_wav(n_samples=8000, seed=3))
+    assert sr == 8000 and samples.shape == (8000, 1)
+    assert abs(float(np.abs(samples).max()) - 0.5) < 0.01
+    feats = audio_features(samples, dim=8)
+    target = 0.5 / np.sqrt(2)                    # sine RMS = amp/sqrt(2)
+    assert all(abs(f - target) < 0.02 for f in feats)
+
+    out = extract_features(gen_media_df(spark, 12)).collect()
+    by_kind = {}
+    for r in out:
+        by_kind.setdefault(r.kind, []).append(r)
+    assert all(r.decode_error is None for r in by_kind["audio"])
+    assert all(r.decode_error is None for r in by_kind["image"])
+    assert all(r.decode_error is not None for r in by_kind["video"])
+    # decoded audio features are the pure-Python computation, exactly
+    a0 = [r for r in by_kind["audio"] if r.media_id == 1][0]
+    exp = audio_features(_decode_wav(gen_wav(seed=1))[0], dim=8)
+    assert [round(float(x), 5) for x in a0.feat] == [
+        round(x, 5) for x in exp]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="RIFF"):
+        _decode_wav(b"not audio")
+    with pytest.raises(ValueError, match="fmt/data"):
+        _decode_wav(b"RIFF\x00\x00\x00\x00WAVE")

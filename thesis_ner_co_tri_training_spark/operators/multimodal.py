@@ -1,14 +1,15 @@
 """Multimodal column plumbing: images/audio/video as opaque binary
 columns with typed metadata, processed via Arrow-batched mapInPandas.
 
-The image decode is REAL for the two formats decodable without native
-libraries — P6 PPM and 24-bit uncompressed BMP — implemented directly
-over numpy (`decode_image`), with nearest-neighbor resize and grid-pooled
-features. Compressed formats (PNG/JPEG) and audio/video decoding would
-need libjpeg/ffmpeg, which this container does not have: those payloads
-raise NotImplementedError, which extract_features records per-row
-(`decode_error`) while emitting a deterministic fallback feature vector,
-so the distributed shape is identical either way.
+Decode is REAL for every format decodable without native libraries —
+P6 PPM and 24-bit uncompressed BMP images (`decode_image`, numpy) and
+RIFF/WAVE PCM audio (`_decode_wav`, struct+numpy) — with
+nearest-neighbor resize + grid-pooled features for images and windowed
+RMS energy for audio. Compressed formats (PNG/JPEG, MP3, any video)
+would need libjpeg/ffmpeg, which this container does not have: those
+payloads raise NotImplementedError, which extract_features records
+per-row (`decode_error`) while emitting a deterministic fallback
+feature vector, so the distributed shape is identical either way.
 
 Pattern at scale: binary payloads ride in their own column so Parquet
 column pruning skips them unless the stage actually decodes; decode
@@ -103,6 +104,57 @@ def decode_image(payload: bytes) -> np.ndarray:
         "only PPM/BMP decode without native codecs (PNG/JPEG need libjpeg)")
 
 
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM -> (float32 samples in [-1, 1] shape (n, channels),
+    sample_rate). Pure struct+numpy: WAV PCM is uncompressed, so unlike
+    JPEG/MP3 it is honestly decodable without native codecs. Supports
+    8-bit unsigned and 16-bit signed PCM (format tag 1)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)   # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("wav missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(
+            f"only PCM wav (format 1), got format {audio_format}")
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    elif bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32)
+             - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"unsupported PCM width {bits}")
+    if channels < 1:
+        raise ValueError("wav with zero channels")
+    n = len(x) // channels
+    return x[: n * channels].reshape(n, channels), sample_rate
+
+
+def audio_features(samples: np.ndarray, dim: int = 8) -> list[float]:
+    """Windowed RMS energy: the mono mix split into `dim` equal windows,
+    one root-mean-square per window — the audio analog of the image
+    grid pool (dim floats in [0, 1])."""
+    mono = samples.mean(axis=1)
+    n = len(mono)
+    out = []
+    for i in range(dim):
+        lo = (i * n) // dim
+        hi = max(((i + 1) * n) // dim, lo + 1)
+        seg = mono[lo:hi] if lo < n else np.zeros(1, np.float32)
+        out.append(float(np.sqrt(np.mean(seg * seg))))
+    return out
+
+
 def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Nearest-neighbor resize, pure index arithmetic."""
     idx_r = (np.arange(out_h) * img.shape[0]) // out_h
@@ -148,7 +200,12 @@ def extract_features(media: DataFrame, dim: int = 8,
             for payload in pdf["payload"]:
                 raw = bytes(payload) if payload is not None else b""
                 try:
-                    feats.append(image_features(decode_image(raw), dim))
+                    if raw[:4] == b"RIFF":
+                        feats.append(
+                            audio_features(_decode_wav(raw)[0], dim))
+                    else:
+                        feats.append(
+                            image_features(decode_image(raw), dim))
                     errs.append(None)
                 # struct.error covers truncated BMP headers (struct.error
                 # is a direct Exception subclass, NOT a ValueError): a
@@ -183,16 +240,33 @@ def gen_ppm(width: int, height: int, seed: int = 0) -> bytes:
     return b"P6\n%d %d\n255\n" % (width, height) + img.tobytes()
 
 
+def gen_wav(n_samples: int = 800, sample_rate: int = 8000,
+            seed: int = 0) -> bytes:
+    """Deterministic 16-bit PCM mono WAV: seeded sine burst."""
+    t = np.arange(n_samples, dtype=np.float64)
+    freq = 220.0 + 55.0 * (seed % 8)
+    x = np.sin(2 * np.pi * freq * t / sample_rate) * 0.5
+    pcm = (x * 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+
+
 def gen_media_df(spark, n: int = 64) -> DataFrame:
     """Deterministic media table for tests: real PPM payloads for image
-    rows (exercising the true decode path), opaque seeded bytes for
-    audio/video (exercising the recorded-error fallback path)."""
+    rows and real PCM WAV payloads for audio rows (both exercising true
+    decode paths); opaque seeded bytes for video (exercising the
+    recorded-error fallback path — no ffmpeg in this container)."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
         if kind == "image":
             payload = gen_ppm(16, 12, seed=i)
             mime = "image/x-portable-pixmap"
+        elif kind == "audio":
+            payload = gen_wav(seed=i)
+            mime = "audio/wav"
         else:
             payload = hashlib.sha256(f"media-{i}".encode()).digest() * 8
             mime = f"application/x-fake-{kind}"
