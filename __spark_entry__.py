@@ -2026,6 +2026,86 @@ def _q69_sql(iters: int = 8, scale: int = 10**6) -> str:
               f"ORDER BY h.node")
 
 
+def q70_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency novelty scoring (textstats.
+    corpus_frequency_score): each doc scored by how common its word
+    trigrams are across the corpus — the model-free perplexity proxy
+    (low = novel/noisy, high = boilerplate). BIGINT counts end-to-end;
+    avg_freq is one double division of identical integer operands on
+    both engines."""
+    from thesis_ner_co_tri_training_spark.operators.textstats import (
+        corpus_frequency_score)
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_frequency_score(docs).orderBy("doc_id")
+
+
+_Q70_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS t
+    FROM documents
+), sh AS (
+    SELECT d.doc_id,
+           d.t[g.i] || ' ' || d.t[g.i+1] || ' ' || d.t[g.i+2] AS s
+    FROM toks d,
+         LATERAL (SELECT unnest(generate_series(1, len(d.t) - 2)) AS i) g
+), counts AS (
+    SELECT s, count(*) AS c FROM sh GROUP BY s
+), per AS (
+    SELECT doc_id, count(*) AS n_grams, sum(c) AS freq_sum
+    FROM sh JOIN counts USING (s) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(p.freq_sum, 0) AS BIGINT) AS freq_sum,
+       CASE WHEN coalesce(p.n_grams, 0) > 0
+            THEN CAST(p.freq_sum AS DOUBLE) / p.n_grams END AS avg_freq
+FROM documents d LEFT JOIN per p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def q71_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-budget apportionment (selection.apportion_budget): an
+    odd 99991-fetch budget split over document sources proportionally
+    to their total characters by the largest-remainder (Hamilton)
+    method — exact BIGINT arithmetic, sum(alloc) == budget, fully
+    DuckDB-oracled."""
+    from thesis_ner_co_tri_training_spark.operators.selection import (
+        apportion_budget)
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = docs.groupBy(F.col("source").alias("key")).agg(
+        F.sum("n_chars").alias("weight"))
+    return apportion_budget(weights, budget=99991).orderBy("key")
+
+
+_Q71_SQL = """
+WITH w AS (
+    SELECT source AS key, CAST(sum(n_chars) AS BIGINT) AS wt
+    FROM documents GROUP BY source
+), tot AS (SELECT sum(wt) AS t FROM w),
+base AS (
+    SELECT key,
+           CAST((99991 * wt) // t AS BIGINT) AS b,
+           CAST((99991 * wt) % t AS BIGINT) AS r
+    FROM w, tot
+), used AS (SELECT sum(b) AS u FROM base),
+ranked AS (
+    SELECT key, b, r,
+           row_number() OVER (ORDER BY r DESC, key) AS rk
+    FROM base
+)
+SELECT key,
+       CAST(b + CASE WHEN rk <= 99991 - u.u THEN 1 ELSE 0 END AS BIGINT)
+           AS alloc
+FROM ranked, used u
+ORDER BY key
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2097,6 +2177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_dedup_incremental": q67_dedup_incremental,
         "q68_canonical_urls": q68_canonical_urls,
         "q69_hits": q69_hits,
+        "q70_novelty": q70_novelty,
+        "q71_crawl_budget": q71_crawl_budget,
     }
 
 
@@ -3252,4 +3334,6 @@ def oracle_sql() -> dict[str, str]:
         "q67_dedup_incremental": _q67_sql(),
         "q68_canonical_urls": _Q68_SQL,
         "q69_hits": _q69_sql(),
+        "q70_novelty": _Q70_SQL,
+        "q71_crawl_budget": _Q71_SQL,
     }

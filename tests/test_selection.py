@@ -274,3 +274,29 @@ def test_fill_token_budget(spark):
     assert kept2 == kept
     # full-budget keeps everything
     assert all(r["kept"] for r in fill_token_budget(df, budget=10**9).collect())
+
+
+def test_apportion_budget_exact_and_proportional(spark):
+    """Hamilton apportionment: sum(alloc) == budget exactly for awkward
+    budgets, allocations track proportions within 1 unit (the Hamilton
+    quota property), zero weights get zero, ties break by key."""
+    from thesis_ner_co_tri_training_spark.operators.selection import (
+        apportion_budget)
+
+    rows = [("a", 5), ("b", 3), ("c", 2), ("d", 0), ("e", 1)]
+    df = spark.createDataFrame(rows, "key string, weight long")
+    for budget in (7, 10, 99, 100, 101, 99991):
+        out = {r.key: r.alloc
+               for r in apportion_budget(df, budget).collect()}
+        assert sum(out.values()) == budget
+        assert out["d"] == 0
+        tot = sum(w for _, w in rows)
+        for k, w in rows:
+            quota = budget * w / tot
+            assert quota - 1 < out[k] < quota + 1, (budget, k)
+
+    # tie on remainder -> lexicographically smaller key gets the unit
+    tie = spark.createDataFrame([("x", 1), ("y", 1)],
+                                "key string, weight long")
+    out = {r.key: r.alloc for r in apportion_budget(tie, 3).collect()}
+    assert out == {"x": 2, "y": 1}

@@ -468,3 +468,61 @@ def fill_token_budget(df: DataFrame, budget: int,
         )
         .drop("__fate", "__pid", "__off")
     )
+
+
+def apportion_budget(df: DataFrame, budget: int, key_col: str = "key",
+                     weight_col: str = "weight") -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment: split an integer
+    `budget` over keys proportionally to non-negative integer weights,
+    exactly — sum(alloc) == budget always (pinned by test). The crawl
+    scheduler's per-domain fetch-budget allocation (weights = page
+    counts / priority scores), also the deterministic way to size
+    per-stratum samples in mix_corpus-style corpus assembly.
+
+    base_i = (budget * w_i) DIV W; the `budget - sum(base)` leftover
+    units go to the largest remainders (budget * w_i MOD W), ties by
+    key — every operation is BIGINT, so the allocation is byte-equal in
+    any engine (q71 DuckDB-oracles it).
+
+    Shape at scale: two broadcast 1-row totals and ONE global
+    row_number over (remainder desc, key). The global sort is inherent
+    to the problem (leftover +1s are a corpus-global ranking); rows are
+    (key, two longs), so even 10^8 domains sort ~GBs in one task —
+    acceptable for a scheduling step that runs once per crawl cycle.
+    Weights must be non-negative with a positive sum; rows with weight
+    0 get 0.
+    """
+    from pyspark.sql import Window as W
+
+    w = F.col(weight_col).cast("long")
+    tot = df.agg(F.sum(w).alias("__tot"))
+    base = (
+        df.select(F.col(key_col), w.alias("__w"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            key_col,
+            F.expr(f"CAST(({budget} * __w) DIV __tot AS BIGINT)")
+            .alias("__base"),
+            F.expr(f"CAST(({budget} * __w) % __tot AS BIGINT)")
+            .alias("__rem"),
+        )
+    )
+    # base is referenced twice (the used-total and the ranking) and
+    # embeds the caller's weight aggregation — cut it so that upstream
+    # runs once; the cut is (key, two longs) per row.
+    base = base.localCheckpoint(eager=True)
+    used = base.agg(F.sum("__base").alias("__used"))
+    ranked = (
+        base.crossJoin(F.broadcast(used))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                W.orderBy(F.col("__rem").desc(), F.col(key_col))),
+        )
+    )
+    return ranked.select(
+        key_col,
+        (F.col("__base")
+         + F.when(F.col("__rk") <= F.lit(budget) - F.col("__used"), 1)
+         .otherwise(0)).cast("long").alias("alloc"),
+    )

@@ -503,3 +503,50 @@ def chunk_documents(df: DataFrame, id_col: str = "doc_id",
             .alias("chunk_text"),
         )
     )
+
+
+def corpus_frequency_score(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           n: int = 3) -> DataFrame:
+    """Corpus-frequency novelty scoring — the perplexity-proxy quality
+    signal that needs no model: each document is scored by how common
+    its word n-grams are in the corpus itself. Low avg_freq = novel (or
+    noisy) text; high = templated/boilerplate-heavy. Used alongside
+    q14's intrinsic quality score to pick training data: intrinsically
+    clean AND not boilerplate.
+
+    Exact integer arithmetic end-to-end (BIGINT occurrence counts;
+    avg_freq is one double division of the same two BIGINTs on any
+    engine), so the whole op is DuckDB-oracled (q70). Shingles reuse
+    dedup.token_shingles_long — one tokenizer, one shingle recipe
+    across dedup/BM25/novelty.
+
+    Shape at scale: one map-side-combinable count shuffle (hot
+    boilerplate shingles collapse per mapper), one shingle-keyed join
+    back (the count side is 1 row per distinct shingle), one doc-keyed
+    aggregate. Documents shorter than n tokens surface n_grams = 0 and
+    a null avg (kept, not dropped).
+    """
+    from .dedup import token_shingles_long
+
+    sh = token_shingles_long(df, id_col, text_col, n, distinct=False)
+    counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__c"))
+    per_doc = (
+        sh.join(counts, "s")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("__c").cast("long").alias("freq_sum"),
+        )
+    )
+    return (
+        df.select(id_col).join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("freq_sum", F.lit(0)).cast("long").alias("freq_sum"),
+            F.when(F.col("n_grams") > 0,
+                   F.col("freq_sum") / F.col("n_grams"))
+            .alias("avg_freq"),
+        )
+    )
