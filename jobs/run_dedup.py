@@ -82,7 +82,8 @@ def main() -> int:
         dedup_against_index, minhash_bands, token_shingles)
     from thesis_ner_co_tri_training_spark.session import get_spark
     from thesis_ner_co_tri_training_spark.sources.catalog import (
-        latest_snapshot, read_table, snapshots, write_table)
+        batch_ledger, batch_tags, latest_snapshot, read_table, snapshots,
+        write_table)
     from thesis_ner_co_tri_training_spark.sources.pages import gen_pages_df
 
     spark = get_spark("kg_dedup", cpus=args.cpus)
@@ -106,15 +107,30 @@ def main() -> int:
             "index_rows": read_table(spark, wh, "dedup_index").count(),
         }
     else:
-        doc_snap = latest_snapshot(wh, "dedup_docs")
-        if doc_snap is None:
+        if latest_snapshot(wh, "dedup_docs") is None:
             print(json.dumps({"error": "run --init first"}))
             return 1
-        kw = {k: doc_snap["params"][k] for k in INDEX_PARAMS}
+
+        def _latest_params(table, key):
+            """Newest snapshot params carrying `key` — compaction
+            snapshots interleave without batch params, and expired
+            batches live on in the ledger."""
+            for s in reversed(snapshots(wh, table)):
+                if key in s.get("params", {}):
+                    return s["params"]
+            for e in reversed(batch_ledger(wh, table)):
+                if key in e.get("params", {}):
+                    return e["params"]
+            return None
+
+        kw = {k: _latest_params("dedup_docs", "hasher")[k]
+              for k in INDEX_PARAMS}
 
         def _tags(table):
-            return {s["params"].get("batch_tag") for s in snapshots(wh, table)
-                    if s["params"].get("batch_tag")}
+            # live snapshots + the expired-snapshot ledger: snapshot
+            # expiry (table_maint --expire-keep) must never make a batch
+            # look un-appended, or repair/resume would double-append it
+            return batch_tags(wh, table)
 
         def _regen_batch(b_start, n_fresh, tag):
             fresh = _docs_from_pages(
@@ -149,8 +165,10 @@ def main() -> int:
         # maintenance table is replayed (batches regenerate exactly from
         # their recorded start/size)
         repaired = []
-        for s in snapshots(wh, "dedup_matches"):
-            p = s["params"]
+        match_recs = ([s["params"] for s in snapshots(wh, "dedup_matches")]
+                      + [e["params"]
+                         for e in batch_ledger(wh, "dedup_matches")])
+        for p in match_recs:
             tag = p.get("batch_tag")
             if not tag:
                 continue
@@ -160,8 +178,7 @@ def main() -> int:
                 batch = _regen_batch(p["start"], p["n_fresh"], tag)
                 repaired += _maintain(batch, p)
 
-        doc_snap = latest_snapshot(wh, "dedup_docs")
-        start = doc_snap["params"]["next_start"]
+        start = _latest_params("dedup_docs", "next_start")["next_start"]
         batch_tag = f"batch-{start}"
         if batch_tag in _tags("dedup_matches"):
             out = {

@@ -65,17 +65,37 @@ def main() -> int:
         recovered = None
         prev = catalog.latest_snapshot(args.warehouse, "pages")
         if prev is not None:
-            # crash recovery: if the last appended batch never reached the
+            # crash recovery: if the last appended BATCH never reached the
             # final stage, finish it first (its pages are already in the
-            # warehouse — resume by tag, no page regeneration)
-            edges_last = catalog.latest_snapshot(args.warehouse, "edges")
-            done = (edges_last is not None and
-                    edges_last.get("params", {}).get("pages_snapshot")
-                    == prev["snapshot_id"])
-            if not done:
-                recovered = prev["params"]["batch_tag"]
-                run_pipeline_incremental(spark, None, args.warehouse,
-                                         batch_tag=recovered)
+            # warehouse — resume by tag, no page regeneration). The last
+            # batch is the newest snapshot carrying a batch_tag, NOT the
+            # latest snapshot: compaction/maintenance snapshots carry no
+            # tag and add no pages.
+            last_batch = next(
+                (s for s in reversed(catalog.snapshots(args.warehouse,
+                                                       "pages"))
+                 if s.get("params", {}).get("batch_tag")), None)
+            if last_batch is None and not catalog.batch_ledger(
+                    args.warehouse, "pages"):
+                print(json.dumps({
+                    "error": "--append-pages requires an incremental "
+                             "warehouse: the pages table has snapshots but "
+                             "none carries a batch_tag (it was written by "
+                             "full-mode run_pipeline). Start a fresh "
+                             "warehouse for incremental mode."}),
+                    file=sys.stderr)
+                return 1
+            if last_batch is not None:
+                edges_done = {
+                    s.get("params", {}).get("pages_snapshot")
+                    for s in catalog.snapshots(args.warehouse, "edges")}
+                edges_done |= {
+                    e.get("params", {}).get("pages_snapshot")
+                    for e in catalog.batch_ledger(args.warehouse, "edges")}
+                if last_batch["snapshot_id"] not in edges_done:
+                    recovered = last_batch["params"]["batch_tag"]
+                    run_pipeline_incremental(spark, None, args.warehouse,
+                                             batch_tag=recovered)
                 prev = catalog.latest_snapshot(args.warehouse, "pages")
         start = prev["row_count"] if prev else 0
         n = args.append_pages

@@ -160,3 +160,56 @@ def test_write_table_rejects_unknown_mode(spark, tmp_path):
     with pytest.raises(ValueError, match="unsupported mode"):
         catalog.write_table(_df(spark, 0, 1), str(tmp_path), "t",
                             mode="error")
+
+
+def test_expire_preserves_batch_ledger(spark, tmp_path):
+    """Expiring batch-tagged snapshots must not forget the batches: the
+    exactly-once ledger of the incremental jobs moves to
+    batch-ledger.json and batch_tags() still reports every tag."""
+    wh = str(tmp_path)
+    catalog.write_table(_df(spark, 0, 4), wh, "t",
+                        stage_params={"batch_tag": "b1"})
+    catalog.write_table(_df(spark, 4, 8), wh, "t", mode="append",
+                        stage_params={"batch_tag": "b2"})
+    catalog.compact_table(spark, wh, "t", target_files=1)
+    assert catalog.batch_tags(wh, "t") == {"b1", "b2"}
+    res = catalog.expire_snapshots(wh, "t", keep_last=1)
+    assert res["expired_snapshots"] == [0, 1]
+    assert sorted(res["ledgered_batches"]) == ["b1", "b2"]
+    # live snapshots have no tags left; the ledger still has both
+    assert catalog.batch_tags(wh, "t") == {"b1", "b2"}
+    entries = catalog.batch_ledger(wh, "t")
+    assert [e["snapshot_id"] for e in entries] == [0, 1]
+    assert entries[0]["params"]["batch_tag"] == "b1"
+    # a second expiry must not duplicate ledger entries: snap 3 (live
+    # batch) is kept, snap 2 (compaction, untagged) is dropped unledgered
+    catalog.write_table(_df(spark, 8, 9), wh, "t", mode="append",
+                        stage_params={"batch_tag": "b3"})
+    catalog.expire_snapshots(wh, "t", keep_last=1)
+    assert [e["snapshot_id"] for e in catalog.batch_ledger(wh, "t")] == [0, 1]
+    assert catalog.batch_tags(wh, "t") == {"b1", "b2", "b3"}
+    # and expiring the live batch moves it over exactly once
+    catalog.write_table(_df(spark, 9, 10), wh, "t", mode="append",
+                        stage_params={"batch_tag": "b4"})
+    catalog.expire_snapshots(wh, "t", keep_last=1)
+    assert [e["snapshot_id"] for e in catalog.batch_ledger(wh, "t")] == [
+        0, 1, 3]
+    assert catalog.batch_tags(wh, "t") == {"b1", "b2", "b3", "b4"}
+
+
+def test_concurrent_snap_id_claim_never_clobbers(spark, tmp_path):
+    """A snap dir already claimed by another writer (simulated by
+    pre-creating it) must push the write to the NEXT id instead of
+    overwriting the dir; a manifest collision raises instead of
+    silently replacing the other writer's snapshot."""
+    wh = str(tmp_path)
+    catalog.write_table(_df(spark, 0, 3), wh, "t")
+    os.makedirs(os.path.join(wh, "t", "data", "snap-1"))  # rival claim
+    snap = catalog.write_table(_df(spark, 3, 6), wh, "t", mode="append")
+    assert snap["snapshot_id"] == 2
+    assert snap["data_paths"] == ["snap-0", "snap-2"]
+    assert _ids(catalog.read_table(spark, wh, "t")) == list(range(6))
+    # the rival's unpublished dir is orphan-GC'd by expiry, not clobbered
+    assert os.path.isdir(os.path.join(wh, "t", "data", "snap-1"))
+    res = catalog.expire_snapshots(wh, "t", keep_last=1)
+    assert "snap-1" in res["removed_dirs"]

@@ -111,3 +111,61 @@ def test_resume_unknown_tag_requires_pages(spark, tmp_path):
                              wh, batch_tag="b1")
     with pytest.raises(ValueError, match="not found"):
         run_pipeline_incremental(spark, None, wh, batch_tag="nope")
+
+
+def test_compaction_between_batches(spark, tmp_path):
+    """Maintenance between appends must not break batch succession or
+    exactly-once: ids are bumped by compaction snapshots, so succession
+    is tracked by batch lineage, not snapshot-id arithmetic."""
+    wh = str(tmp_path)
+    run_pipeline_incremental(spark, gen_pages_df(spark, 4, partitions=2),
+                             wh, batch_tag="b1")
+    # maintenance: compact the pages table AND a stage table
+    catalog.compact_table(spark, wh, "pages", target_files=1)
+    catalog.compact_table(spark, wh, "sentences", target_files=1)
+    # next batch appends fine (old code: "batches must be sequential")
+    lin2 = run_pipeline_incremental(
+        spark, gen_pages_df(spark, 4, partitions=2, start=4), wh,
+        batch_tag="b2")
+    assert lin2["pages"]["row_count"] == 8
+    n_sent = catalog.read_table(spark, wh, "sentences").count()
+    assert n_sent == lin2["sentences"]["row_count"]
+    # replaying b1 after stage compaction must resume, never re-append
+    # (the compaction snapshot hides b1 from latest-only resume checks)
+    catalog.compact_table(spark, wh, "sentences", target_files=1)
+    again = run_pipeline_incremental(spark, None, wh, batch_tag="b2")
+    assert again["sentences"].get("resumed") is True
+    assert catalog.read_table(spark, wh, "sentences").count() == n_sent
+
+
+def test_expired_batch_refuses_replay(spark, tmp_path):
+    """After expiry moved a batch to the ledger, replaying it must fail
+    loudly (already appended) instead of double-appending."""
+    wh = str(tmp_path)
+    run_pipeline_incremental(spark, gen_pages_df(spark, 4, partitions=2),
+                             wh, batch_tag="b1")
+    run_pipeline_incremental(spark, gen_pages_df(spark, 4, partitions=2,
+                                                 start=4), wh,
+                             batch_tag="b2")
+    catalog.compact_table(spark, wh, "pages", target_files=1)
+    catalog.expire_snapshots(wh, "pages", keep_last=1)
+    assert catalog.batch_tags(wh, "pages") == {"b1", "b2"}
+    with pytest.raises(ValueError, match="already in the table"):
+        run_pipeline_incremental(spark, None, wh, batch_tag="b1")
+    # and a NEW batch still appends with correct succession
+    lin3 = run_pipeline_incremental(
+        spark, gen_pages_df(spark, 2, partitions=2, start=8), wh,
+        batch_tag="b3")
+    assert lin3["pages"]["row_count"] == 10
+
+
+def test_full_mode_warehouse_rejected_for_append(spark, tmp_path):
+    """--append-pages on a warehouse seeded by full-mode run_pipeline
+    (stage tables exist, no batch-tagged pages history) must raise a
+    clear error instead of appending deltas onto full-run rows."""
+    wh = str(tmp_path)
+    run_pipeline(spark, gen_pages_df(spark, 4, partitions=2), wh)
+    with pytest.raises(ValueError, match="don't mix"):
+        run_pipeline_incremental(
+            spark, gen_pages_df(spark, 2, partitions=2, start=4), wh,
+            batch_tag="b1")

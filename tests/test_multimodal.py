@@ -141,3 +141,25 @@ def test_wav_decode_and_features(spark):
         _decode_wav(b"not audio")
     with pytest.raises(ValueError, match="fmt/data"):
         _decode_wav(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_wav_truncated_data_chunk_is_decode_error():
+    """A data chunk whose declared size extends past the payload must
+    raise (-> decode_error column), never silently compute features
+    from partial audio. Even-length truncation used to pass silently
+    (16-bit odd-length already errored in numpy)."""
+    import pytest
+
+    from thesis_ner_co_tri_training_spark.operators.multimodal import (
+        _decode_wav, gen_wav)
+
+    wav = gen_wav(n_samples=1000, seed=7)
+    full, _ = _decode_wav(wav)
+    # cut an EVEN number of bytes off the end: numpy frombuffer would
+    # accept the shorter buffer without the explicit chunk-size guard
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_wav(wav[:-4])
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_wav(wav[: len(wav) // 2])
+    # untouched payload still decodes to the same shape
+    assert _decode_wav(wav)[0].shape == full.shape

@@ -300,3 +300,24 @@ def test_apportion_budget_exact_and_proportional(spark):
                                 "key string, weight long")
     out = {r.key: r.alloc for r in apportion_budget(tie, 3).collect()}
     assert out == {"x": 2, "y": 1}
+
+
+def test_apportion_budget_rejects_degenerate_weights(spark):
+    """Zero/all-null weight totals used to propagate NULL through DIV
+    and return alloc=NULL for every key silently; now they raise."""
+    import pytest
+
+    from thesis_ner_co_tri_training_spark.operators.selection import (
+        apportion_budget)
+
+    zero = spark.createDataFrame([("a", 0), ("b", 0)], "key string, weight int")
+    with pytest.raises(ValueError, match="positive"):
+        apportion_budget(zero, 10)
+    nulls = spark.createDataFrame([("a", None), ("b", None)],
+                                  "key string, weight int")
+    with pytest.raises(ValueError, match="positive"):
+        apportion_budget(nulls, 10)
+    neg = spark.createDataFrame([("a", 5), ("b", -1)],
+                                "key string, weight int")
+    with pytest.raises(ValueError, match="non-negative"):
+        apportion_budget(neg, 10)

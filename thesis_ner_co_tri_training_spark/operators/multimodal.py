@@ -115,6 +115,13 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + size > len(payload):
+            # a declared chunk size past the payload end means the file
+            # was truncated/corrupted; a silent Python-slice cut would
+            # compute features from partial audio — route to decode_error
+            raise ValueError(
+                f"wav chunk {cid!r} declares {size} bytes but only "
+                f"{len(payload) - pos - 8} remain (truncated payload)")
         body = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)

@@ -484,8 +484,9 @@ def apportion_budget(df: DataFrame, budget: int, key_col: str = "key",
     key — every operation is BIGINT, so the allocation is byte-equal in
     any engine (q71 DuckDB-oracles it).
 
-    Shape at scale: two broadcast 1-row totals and ONE global
-    row_number over (remainder desc, key). The global sort is inherent
+    Shape at scale: one collected scalar total (guarded positive — NULL
+    allocs on a zero sum would be silent), one broadcast 1-row
+    used-total, and ONE global row_number over (remainder desc, key). The global sort is inherent
     to the problem (leftover +1s are a corpus-global ranking); rows are
     (key, two longs), so even 10^8 domains sort ~GBs in one task —
     acceptable for a scheduling step that runs once per crawl cycle.
@@ -495,15 +496,26 @@ def apportion_budget(df: DataFrame, budget: int, key_col: str = "key",
     from pyspark.sql import Window as W
 
     w = F.col(weight_col).cast("long")
-    tot = df.agg(F.sum(w).alias("__tot"))
+    # Precondition guard (one driver-side scalar, metadata-bounded, like
+    # pagerank_fixedpoint's m == 0 guard): a zero/all-null weight total
+    # would make __base/__rem NULL via DIV and silently return
+    # alloc=NULL for every key.
+    tot_row = df.agg(F.sum(w).alias("__tot"),
+                     F.min(w).alias("__min")).first()
+    if tot_row["__tot"] is None or tot_row["__tot"] <= 0:
+        raise ValueError(
+            f"apportion_budget: weight sum must be positive, got "
+            f"{tot_row['__tot']!r} (weights all zero/null?)")
+    if tot_row["__min"] is not None and tot_row["__min"] < 0:
+        raise ValueError("apportion_budget: weights must be non-negative")
+    tot = int(tot_row["__tot"])
     base = (
         df.select(F.col(key_col), w.alias("__w"))
-        .crossJoin(F.broadcast(tot))
         .select(
             key_col,
-            F.expr(f"CAST(({budget} * __w) DIV __tot AS BIGINT)")
+            F.expr(f"CAST(({budget} * __w) DIV {tot} AS BIGINT)")
             .alias("__base"),
-            F.expr(f"CAST(({budget} * __w) % __tot AS BIGINT)")
+            F.expr(f"CAST(({budget} * __w) % {tot} AS BIGINT)")
             .alias("__rem"),
         )
     )

@@ -248,19 +248,58 @@ def run_pipeline_incremental(
             pages_snap["resumed"] = True
             break
     if pages_snap is None:
+        if batch_tag in {e["params"].get("batch_tag")
+                         for e in catalog.batch_ledger(warehouse, "pages")}:
+            raise ValueError(
+                f"batch_tag {batch_tag!r} was appended and its pages "
+                "snapshot later expired (recorded in batch-ledger.json); "
+                "the batch is already in the table — re-appending would "
+                "double it and the expired delta cannot be replayed")
         if new_pages is None:
             raise ValueError(
                 f"batch_tag {batch_tag!r} not found in the pages history "
                 "and no new_pages given; pass new_pages=None only to "
                 "resume an already-appended batch")
+        prev_pages = catalog.latest_snapshot(warehouse, "pages")
+        if prev_pages is None:
+            # full-mode run_pipeline writes stage tables but no `pages`
+            # table; bootstrapping a batch on top of those would append
+            # batch deltas onto full-run rows (duplicates)
+            if catalog.latest_snapshot(warehouse, "sentences") is not None:
+                raise ValueError(
+                    "incremental bootstrap on a warehouse that already has "
+                    "stage tables but no batch-tagged pages history (it was "
+                    "written by full-mode run_pipeline); full-mode and "
+                    "incremental-mode warehouses don't mix — start a fresh "
+                    "warehouse for --append-pages")
+        elif (not prev_pages.get("params", {}).get("batch_tag")
+                and prev_pages.get("operation") not in ("compact",)):
+            raise ValueError(
+                "incremental append onto a pages table whose history was "
+                "not written by run_pipeline_incremental (latest snapshot "
+                f"op={prev_pages.get('operation')!r} has no batch_tag); "
+                "full-mode and incremental-mode warehouses don't mix — "
+                "start a fresh warehouse for --append-pages")
         pages_snap = catalog.write_table(
             new_pages, warehouse, "pages",
             stage_params={"batch_tag": batch_tag},
-            mode="append" if catalog.latest_snapshot(warehouse, "pages")
-            is not None else "overwrite",
+            mode="append" if prev_pages is not None else "overwrite",
         )
     batch_id = pages_snap["snapshot_id"]
     lineage["pages"] = pages_snap
+
+    # Batch succession is tracked by the pages table's BATCH lineage —
+    # the snapshots carrying a batch_tag plus the expired-snapshot ledger
+    # — never by snapshot-id arithmetic: compaction snapshots interleave
+    # with batch appends and bump ids without adding pages.
+    batch_hist = sorted(
+        {s["snapshot_id"] for s in catalog.snapshots(warehouse, "pages")
+         if s.get("params", {}).get("batch_tag")}
+        | {e["snapshot_id"] for e in catalog.batch_ledger(warehouse, "pages")
+           if e.get("params", {}).get("batch_tag")}
+    )
+    older = [i for i in batch_hist if i < batch_id]
+    prev_batch_id = older[-1] if older else None
 
     def delta_of(name: str, snap: dict[str, Any]) -> DataFrame:
         """The rows a snapshot added (the batch's contribution)."""
@@ -272,23 +311,48 @@ def run_pipeline_incremental(
             spark, warehouse, name,
             from_snapshot=parent, to_snapshot=snap["snapshot_id"])
 
+    def _stage_batches(name: str) -> set[int]:
+        """pages snapshot ids this stage already processed — scanned over
+        the FULL history plus the expired-snapshot ledger. A later
+        compaction snapshot on the stage table must not hide a processed
+        batch, or a rerun would append its delta twice."""
+        ids = {s.get("params", {}).get("pages_snapshot")
+               for s in catalog.snapshots(warehouse, name)}
+        ids |= {e.get("params", {}).get("pages_snapshot")
+                for e in catalog.batch_ledger(warehouse, name)}
+        ids.discard(None)
+        return ids
+
     def append_stage(name: str, build_delta, partition_by=None) -> DataFrame:
         """Append this batch's delta (exactly-once per batch); returns
         the DELTA rows for the next stage, never the full table."""
-        last = catalog.latest_snapshot(warehouse, name)
-        if last and last.get("params", {}).get("pages_snapshot") == batch_id:
-            last["resumed"] = True
-            lineage[name] = last
+        done = None
+        for s in catalog.snapshots(warehouse, name):
+            if s.get("params", {}).get("pages_snapshot") == batch_id:
+                done = s
+                break
+        if done is not None:
+            done["resumed"] = True
+            lineage[name] = done
         else:
-            got = last.get("params", {}).get("pages_snapshot") if last else None
-            if got is not None and got != batch_id - 1:
+            seen = _stage_batches(name)
+            if batch_id in seen:
+                raise ValueError(
+                    f"{name}: batch (pages snapshot {batch_id}) was "
+                    "processed and its stage snapshot later expired; the "
+                    "rows are already in the table and the delta cannot "
+                    "be re-derived — nothing to resume")
+            got = max(seen) if seen else None
+            if got is not None and got != prev_batch_id:
                 raise ValueError(
                     f"{name}: last processed pages snapshot is {got}, this "
-                    f"batch is {batch_id}; batches must be sequential "
-                    "(resume the missing batch by its tag first)")
+                    f"batch follows {prev_batch_id}; batches must be "
+                    "sequential (resume the missing batch by its tag first)")
+            last = catalog.latest_snapshot(warehouse, name)
             snap = catalog.write_table(
                 build_delta(), warehouse, name, partition_by=partition_by,
-                stage_params={**p, "pages_snapshot": batch_id},
+                stage_params={**p, "pages_snapshot": batch_id,
+                              "batch_tag": batch_tag},
                 mode="append" if last is not None else "overwrite",
             )
             lineage[name] = snap

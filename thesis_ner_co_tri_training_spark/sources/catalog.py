@@ -65,6 +65,38 @@ def _snap_meta_path(warehouse: str, table: str, snap_id: int) -> str:
                         f"snapshot-{snap_id}.json")
 
 
+def _ledger_path(warehouse: str, table: str) -> str:
+    return os.path.join(_metadata_dir(warehouse, table), "batch-ledger.json")
+
+
+def batch_ledger(warehouse: str, table: str) -> list[dict[str, Any]]:
+    """Expired-snapshot batch records. `expire_snapshots` moves every
+    dropped snapshot that carries a `batch_tag` here, so the
+    exactly-once ledger the incremental jobs scan (run_dedup repair,
+    run_pipeline_incremental resume) survives snapshot expiry — a
+    maintained warehouse can still prove "this batch was already
+    appended" even when the snapshot JSON itself is gone."""
+    path = _ledger_path(warehouse, table)
+    if not os.path.exists(path):
+        return []
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def batch_tags(warehouse: str, table: str) -> set[str]:
+    """Every batch_tag ever appended to the table: live snapshots plus
+    the expired-snapshot ledger. THE idempotence check for incremental
+    jobs — never scan snapshots alone (expiry would forget batches)."""
+    tags = {
+        s["params"]["batch_tag"]
+        for s in snapshots(warehouse, table)
+        if s.get("params", {}).get("batch_tag")
+    }
+    tags.update(e["params"]["batch_tag"] for e in batch_ledger(warehouse, table)
+                if e.get("params", {}).get("batch_tag"))
+    return tags
+
+
 def _snapshot_ids(warehouse: str, table: str) -> list[int]:
     """Numerically sorted snapshot ids (string sort breaks at 10)."""
     meta = _metadata_dir(warehouse, table)
@@ -121,8 +153,22 @@ def write_table(
         raise ValueError(f"write_table: unsupported mode {mode!r}")
     prev = latest_snapshot(warehouse, table)
     snap_id = (prev["snapshot_id"] + 1) if prev else 0
-    rel_dir = f"snap-{snap_id}"
-    out_dir = os.path.join(_data_dir(warehouse, table), rel_dir)
+    # Claim the snap id atomically: os.mkdir fails if the dir exists, so
+    # two concurrent writers (streaming sink + maintenance job) can never
+    # pick the same id and clobber each other's data dir. The catalog is
+    # still logically single-writer (parent/row-count math reads `prev`
+    # non-transactionally); this guard turns a silent clobber into
+    # disjoint dirs + a loud manifest conflict below.
+    data_root = _data_dir(warehouse, table)
+    os.makedirs(data_root, exist_ok=True)
+    while True:
+        rel_dir = f"snap-{snap_id}"
+        out_dir = os.path.join(data_root, rel_dir)
+        try:
+            os.mkdir(out_dir)
+            break
+        except FileExistsError:
+            snap_id += 1
 
     writer = df.write.mode("overwrite")
     if partition_by:
@@ -165,7 +211,9 @@ def write_table(
     }
     meta = _metadata_dir(warehouse, table)
     os.makedirs(meta, exist_ok=True)
-    with open(_snap_meta_path(warehouse, table, snap_id), "w") as fh:
+    # Exclusive-create ('x'): if another writer somehow published this id
+    # already, fail loudly instead of overwriting its manifest.
+    with open(_snap_meta_path(warehouse, table, snap_id), "x") as fh:
         json.dump(snapshot, fh, indent=2, default=str)
     return snapshot
 
@@ -310,7 +358,14 @@ def expire_snapshots(warehouse: str, table: str,
                      keep_last: int = 1) -> dict[str, Any]:
     """Drop all but the newest `keep_last` snapshots and delete snap
     dirs no retained snapshot references (Iceberg expire_snapshots +
-    orphan-file GC). Time travel to an expired snapshot then raises."""
+    orphan-file GC). Time travel to an expired snapshot then raises.
+
+    Snapshots whose params carry a `batch_tag` are the exactly-once
+    ledger of the incremental jobs (run_dedup repair, pipeline
+    --append-pages resume); before their JSON is deleted, a slim record
+    (ids + params) is appended to `batch-ledger.json`, which
+    `batch_tags`/`batch_ledger` expose — expiry bounds storage without
+    ever forgetting which batches were appended."""
     if keep_last < 1:
         raise ValueError("expire_snapshots: keep_last must be >= 1")
     ids = _snapshot_ids(warehouse, table)
@@ -319,6 +374,29 @@ def expire_snapshots(warehouse: str, table: str,
     for sid in keep:
         snap = get_snapshot(warehouse, table, sid)
         referenced.update(snap.get("data_paths", []))
+    ledgered = []
+    for sid in drop:
+        snap = get_snapshot(warehouse, table, sid)
+        params = snap.get("params", {})
+        # batch_tag: the pages/dedup batch ledger; pages_snapshot: the
+        # per-stage processed-batch ledger of run_pipeline_incremental
+        if params.get("batch_tag") or params.get("pages_snapshot") is not None:
+            ledgered.append({
+                "snapshot_id": snap["snapshot_id"],
+                "parent_snapshot_id": snap.get("parent_snapshot_id"),
+                "row_count": snap.get("row_count"),
+                "added_rows": snap.get("added_rows"),
+                "operation": snap.get("operation"),
+                "params": snap.get("params", {}),
+            })
+    if ledgered:
+        entries = batch_ledger(warehouse, table)
+        have = {e["snapshot_id"] for e in entries}
+        entries += [e for e in ledgered if e["snapshot_id"] not in have]
+        tmp = _ledger_path(warehouse, table) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(entries, fh, indent=2, default=str)
+        os.replace(tmp, _ledger_path(warehouse, table))
     removed_dirs = []
     data_dir = _data_dir(warehouse, table)
     if os.path.isdir(data_dir):
@@ -330,7 +408,11 @@ def expire_snapshots(warehouse: str, table: str,
     for sid in drop:
         os.remove(_snap_meta_path(warehouse, table, sid))
     return {"table": table, "expired_snapshots": drop,
-            "kept_snapshots": keep, "removed_dirs": sorted(removed_dirs)}
+            "kept_snapshots": keep, "removed_dirs": sorted(removed_dirs),
+            "ledgered_batches": [
+                e["params"].get("batch_tag")
+                or f"pages_snapshot={e['params']['pages_snapshot']}"
+                for e in ledgered]}
 
 
 def table_complete(warehouse: str, table: str) -> bool:
