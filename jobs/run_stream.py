@@ -12,6 +12,12 @@ input dir with N synthetic pages (smoke mode). availableNow trigger:
 drain everything currently in the directory in bounded micro-batches,
 then exit — rerunning picks up only files added since (incremental
 crawl-feed semantics; the checkpoint carries the file ledger).
+
+With `--warehouse WH` the stream lands in the snapshot CATALOG table
+`WH/<what>` instead (foreachBatch exactly-once appends keyed by
+stream-batch tags): streamed mentions/triples then get time travel,
+`read_incremental` for downstream consumers, per-batch lineage, and
+`table_maint` compaction — the same warehouse contract as batch stages.
 """
 
 from __future__ import annotations
@@ -36,6 +42,11 @@ def main() -> int:
     ap.add_argument("--pages", type=int, default=0,
                     help="seed the input dir with N synthetic pages first")
     ap.add_argument("--max-files", type=int, default=8)
+    ap.add_argument("--warehouse", default=None,
+                    help="write to a snapshot CATALOG table <what> in this "
+                         "warehouse (foreachBatch exactly-once appends: "
+                         "time travel + read_incremental + table_maint "
+                         "compaction) instead of the flat parquet sink")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
 
@@ -99,6 +110,31 @@ def main() -> int:
         }[args.what](pages)
 
     t0 = time.time()
+    if args.warehouse:
+        from thesis_ner_co_tri_training_spark.sources import catalog
+        from thesis_ner_co_tri_training_spark.streaming.ingest import (
+            start_catalog_sink)
+
+        q = start_catalog_sink(
+            stream, args.warehouse, args.what,
+            checkpoint_dir=os.path.join(args.warehouse, "_checkpoints",
+                                        args.what))
+        q.awaitTermination()
+        elapsed = time.time() - t0
+        snap = catalog.latest_snapshot(args.warehouse, args.what)
+        print(json.dumps({
+            "what": args.what,
+            "seconds": round(elapsed, 2),
+            "rows_in_sink": snap["row_count"] if snap else 0,
+            "snapshot_id": snap["snapshot_id"] if snap else None,
+            "stream_batches": len([s for s in catalog.snapshots(
+                args.warehouse, args.what)
+                if s["params"].get("stream_batch_id") is not None]),
+            "exactly_once": True,
+            "catalog_table": f"{args.warehouse}/{args.what}",
+        }))
+        spark.stop()
+        return 0
     q = (
         stream.writeStream.format("parquet")
         .option("path", os.path.join(args.out, "data"))

@@ -269,3 +269,72 @@ def test_dedup_pages_stream_canonical_merges_variants(spark, tmp_path):
 
     assert run(False, "v_raw") == 12       # raw urls differ -> both kept
     assert run(True, "v_canon") == 6       # canonical key merges them
+
+
+def test_catalog_sink_exactly_once_incremental(spark, tmp_path):
+    """Verdict r4 item 6: stream N files into a snapshot CATALOG table,
+    'crash' (replayed micro-batch), resume with new files — each batch
+    lands exactly once and read_incremental sees exactly the new rows."""
+    from thesis_ner_co_tri_training_spark.sources import catalog
+    from thesis_ner_co_tri_training_spark.streaming.ingest import (
+        append_batch_to_catalog, start_catalog_sink)
+
+    src = str(tmp_path / "pages_in")
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    gen_pages_df(spark, 8, partitions=2).write.mode("append").parquet(src)
+
+    def drain():
+        q = start_catalog_sink(
+            mentions_stream(read_pages_stream(spark, src)),
+            wh, "mentions", ckpt)
+        q.awaitTermination(120)
+
+    drain()
+    s0 = catalog.latest_snapshot(wh, "mentions")
+    n0 = s0["row_count"]
+    assert n0 > 0 and s0["params"]["batch_tag"] == "stream-batch-0"
+    assert s0["operation"] == "stream-append"
+
+    # rerun with no new files: no new snapshot (checkpoint file ledger)
+    drain()
+    assert catalog.latest_snapshot(wh, "mentions")["snapshot_id"] == \
+        s0["snapshot_id"]
+
+    # crash replay: Structured Streaming re-invokes foreachBatch with the
+    # last batch_id after an uncommitted crash — must be a no-op
+    batch0 = catalog.read_table(spark, wh, "mentions", snapshot_id=0)
+    assert append_batch_to_catalog(batch0, 0, wh, "mentions") is None
+    assert catalog.latest_snapshot(wh, "mentions")["row_count"] == n0
+
+    # new crawl files arrive; resume processes ONLY them
+    extra = gen_pages_df(spark, 14, partitions=2).filter(
+        ~F.col("url").isin([r["url"] for r in gen_pages_df(spark, 8)
+                            .select("url").collect()]))
+    extra.write.mode("append").parquet(src)
+    drain()
+    s1 = catalog.latest_snapshot(wh, "mentions")
+    assert s1["params"]["stream_batch_id"] == 1
+    inc = catalog.read_incremental(spark, wh, "mentions", from_snapshot=0)
+    assert inc.count() == s1["added_rows"] == s1["row_count"] - n0
+    assert s1["added_rows"] > 0
+    # exactly-once across everything: catalog table == batch replay
+    want = _batch_mentions_n(spark, 14)
+    got = catalog.read_table(spark, wh, "mentions")
+    assert got.count() == want.count()
+    assert got.select("url", "sent_id", "beg", "end").exceptAll(
+        want.select("url", "sent_id", "beg", "end")).isEmpty()
+    # the streamed table is a first-class warehouse table: compaction
+    # + expiry keep rows and the batch ledger intact
+    catalog.compact_table(spark, wh, "mentions", target_files=1)
+    catalog.expire_snapshots(wh, "mentions", keep_last=1)
+    assert catalog.read_table(spark, wh, "mentions").count() == want.count()
+    assert catalog.batch_tags(wh, "mentions") == {
+        "stream-batch-0", "stream-batch-1"}
+
+
+def _batch_mentions_n(spark, n):
+    pages = gen_pages_df(spark, n, partitions=2)
+    voted = vote_mentions(tag_sentences_df(explode_sentences(
+        pages.drop("text"))))
+    return mentions_table(voted)

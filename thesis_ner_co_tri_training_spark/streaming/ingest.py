@@ -124,6 +124,68 @@ def start_mentions_sink(
     return writer.start()
 
 
+def append_batch_to_catalog(
+    batch_df: DataFrame,
+    batch_id: int,
+    warehouse: str,
+    table: str,
+    partition_by: list[str] | None = None,
+) -> dict | None:
+    """Idempotent per-micro-batch append into a snapshot catalog table —
+    the foreachBatch body of `start_catalog_sink`, exposed for tests.
+
+    Exactly-once: Structured Streaming replays the last uncommitted
+    batch_id after a crash, so the append is keyed by a
+    `stream-batch-<id>` batch_tag — a tag already present in the
+    table's snapshots (or its expired-snapshot ledger) is a no-op. A
+    crash INSIDE write_table (data dir written, manifest not published)
+    also replays safely: readers only see manifested snap dirs, and the
+    replay claims a fresh dir; the orphan is GC'd by expire_snapshots.
+    Returns the snapshot record, or None when the batch was already
+    committed."""
+    from ..sources import catalog
+
+    tag = f"stream-batch-{batch_id}"
+    if tag in catalog.batch_tags(warehouse, table):
+        return None
+    return catalog.write_table(
+        batch_df, warehouse, table, partition_by=partition_by,
+        stage_params={"batch_tag": tag, "stream_batch_id": batch_id},
+        mode=("append" if catalog.latest_snapshot(warehouse, table)
+              is not None else "overwrite"),
+        operation="stream-append",
+    )
+
+
+def start_catalog_sink(
+    stream: DataFrame,
+    warehouse: str,
+    table: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    partition_by: list[str] | None = None,
+):
+    """Exactly-once foreachBatch sink into a snapshot CATALOG table, so
+    streamed mentions/triples get everything the batch stages get: time
+    travel, `read_incremental` (downstream consumers read only the snap
+    dirs new batches added — the Iceberg streaming-append contract),
+    per-batch lineage/partition metrics, and compaction via table_maint.
+
+    The plain parquet file sink (`start_mentions_sink`) writes one flat
+    dir with a _spark_metadata ledger only the same stream can read;
+    this sink makes stream output a first-class warehouse table."""
+    writer = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: append_batch_to_catalog(
+                df, bid, warehouse, table, partition_by))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def sessions_stream(
     pages: DataFrame,
     gap: str = "30 minutes",
