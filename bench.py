@@ -22,10 +22,20 @@ runs land in the same epoch with high probability, so min-of-3 tracks the
 engine, not the epoch — the same discipline jobs/bench_scaling.py uses.
 Epochs can outlast a whole best-of-3 (observed: 3 runs spread 1.009 all
 1.6x slow), so each run additionally waits — bounded by
-BENCH_CALM_WAIT (420s) — for 1-min loadavg <= BENCH_CALM_THRESH (4):
-the co-tenant load driving the epochs is visible in os.getloadavg().
-Per-run loadavg is recorded either way. BENCH_RUNS=1 restores the old
-single-sample behavior.
+BENCH_CALM_WAIT (900s total across the run) — for 1-min loadavg <=
+BENCH_CALM_THRESH (1.5): the co-tenant load driving the epochs is
+visible in os.getloadavg(). Round-3 ran at loadavg 3.2-3.8 under the
+old threshold of 4 and recorded a loaded-epoch headline; 1.5 is below
+every observed loaded epoch. Per-run loadavg is recorded either way,
+plus `calm_runs` and an explicit `no_calm_window` flag when the
+deadline expired without calm (the number is then self-describingly
+epoch-exposed). BENCH_RUNS=1 restores the old single-sample behavior.
+
+kg_pipeline is reported BOTH ways (r2->r3 protocol bridge): the
+headline kg_pipeline_<N> excludes Python-worker spin-up (steady-state
+compute DAG, the r3 protocol), and kg_pipeline_<N>_incl_spinup times
+the same DAG's first execution including worker fork + imports +
+gazetteer build (the r2 protocol).
 """
 
 from __future__ import annotations
@@ -82,12 +92,15 @@ def _wait_calm(thresh: float, max_wait: float, poll: float = 15.0) -> float:
 
 def best_of(runs: int) -> int:
     """Run the cold pass `runs` times in fresh JVMs; report the best run."""
-    thresh = float(os.environ.get("BENCH_CALM_THRESH", "4"))
-    max_wait = float(os.environ.get("BENCH_CALM_WAIT", "420"))
+    thresh = float(os.environ.get("BENCH_CALM_THRESH", "1.5"))
+    budget = float(os.environ.get("BENCH_CALM_WAIT", "900"))
+    deadline = time.time() + budget
     results = []
     loads = []
     for i in range(runs):
-        loads.append(_wait_calm(thresh, max_wait))
+        # retry-until-calm with one shared deadline across the whole
+        # best-of-N, so unattended (driver) runs always complete
+        loads.append(_wait_calm(thresh, max(0.0, deadline - time.time())))
         env = dict(os.environ, BENCH_SINGLE="1")
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -110,6 +123,12 @@ def best_of(runs: int) -> int:
     best["run_spread"] = round(max(totals) / min(totals), 3)
     best["runs"] = runs
     best["loadavg_per_run"] = loads
+    best["calm_thresh"] = thresh
+    best["calm_runs"] = sum(1 for v in loads if v <= thresh)
+    if all(v > thresh for v in loads):
+        # explicit per the r3 verdict: no calm window occurred within the
+        # deadline; every recorded run started inside a loaded epoch
+        best["no_calm_window"] = True
     print(json.dumps(best))
     return 0
 
@@ -170,25 +189,31 @@ def single_run() -> int:
 
     pages = gen_pages_df(spark, KG_PAGES).cache()
     pages.count()  # materialize input outside the timed section
-    # Warm the Python UDF workers outside the timed section with one full
-    # untimed pass — the same exclusion jobs/bench_scaling.py applies
-    # (and for the same reason it warms with a FULL pass: a limit() slice
-    # coalesces to ~1 partition and warms only one worker). Worker
-    # spin-up (fork + pandas import + gazetteer build across all cpus) is
-    # amortized on any long cluster job and is the most load-epoch-
-    # sensitive phase, so timing it made kg_pipeline the noisiest
-    # headline entry. The timed section measures the compute DAG.
-    tag_and_vote_pages_df(pages.drop("text")).count()
+
+    def _kg_pass():
+        # Fused tag+vote: only voted rows cross the Arrow socket (see
+        # tagging.tag_and_vote_pages_df; parity by test_fused_vote).
+        voted = tag_and_vote_pages_df(pages.drop("text"))
+        return (
+            voted.withColumn("ms", spans_expr("tags", "confs"))
+            .agg(F.sum(F.size("ms")).alias("nm"),
+                 F.sum(F.size(triples_from_spans("tokens", "ms"))).alias("nt"))
+            .collect()[0]
+        )
+
+    # First execution, timed INCLUSIVE of Python-worker spin-up (fork +
+    # pandas import + gazetteer build across all cpus) — the r2 protocol,
+    # kept as a bridging number after r3 moved the headline to the
+    # steady-state protocol (commit 8d6539d). Spin-up is amortized on any
+    # long cluster job and is the most load-epoch-sensitive phase, which
+    # is why it is excluded from the headline; a full pass is used (not a
+    # limit() slice, which coalesces to ~1 partition and warms 1 worker).
     t0 = time.time()
-    # Fused tag+vote: only voted rows cross the Arrow socket (see
-    # tagging.tag_and_vote_pages_df; parity pinned by test_fused_vote).
-    voted = tag_and_vote_pages_df(pages.drop("text"))
-    row = (
-        voted.withColumn("ms", spans_expr("tags", "confs"))
-        .agg(F.sum(F.size("ms")).alias("nm"),
-             F.sum(F.size(triples_from_spans("tokens", "ms"))).alias("nt"))
-        .collect()[0]
-    )
+    row = _kg_pass()
+    kg_incl = round(time.time() - t0, 3)
+    # Steady-state pass (workers warm): the headline r3 protocol.
+    t0 = time.time()
+    row = _kg_pass()
     n_m, n_t = int(row["nm"]), int(row["nt"])
     kg_sec = round(time.time() - t0, 3)
     timings[f"kg_pipeline_{KG_PAGES}"] = kg_sec
@@ -206,6 +231,8 @@ def single_run() -> int:
         "cpus": cpus,
         "kg_pages": KG_PAGES,
         "kg_docs_per_sec": round(KG_PAGES / kg_sec, 2),
+        f"kg_pipeline_{KG_PAGES}_incl_spinup": kg_incl,
+        "kg_docs_per_sec_incl_spinup": round(KG_PAGES / kg_incl, 2),
         "kg_mentions": n_m,
         "kg_triples": n_t,
     }

@@ -78,3 +78,58 @@ def test_http_predict_socket_parity():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_http_voted_concurrent_parity(spark):
+    """Verdict r4 item 10: the voted path under load — 8 parallel
+    clients, 100 requests over /predict_voted — answers byte-identical
+    to the batch vote for every sentence (ThreadingHTTPServer: each
+    request runs the same pure functions concurrently; any shared
+    mutable state would surface as cross-request corruption here)."""
+    import json
+    import threading
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    from thesis_ner_co_tri_training_spark.serve import make_http_server
+
+    # expected answers from the batch vote (the distributed plan's path)
+    pages = gen_pages_df(spark, 6, partitions=2)
+    voted = vote_mentions(tag_pages_df(pages.drop("text")))
+    batch = {
+        (r["url"], r["sent_id"]): (list(r["tags"]), r["selection_rule"])
+        for r in voted.collect()
+    }
+    sentences = []  # (sentence, expected tags-or-None)
+    for pid in range(6):
+        page = gen_page(pid)
+        for sid, sent in enumerate(split_sentences(extract_text(page["html"]))):
+            exp = batch.get((page["url"], sid))
+            sentences.append((sent, exp[0] if exp else None))
+    assert len(sentences) >= 10
+
+    srv = make_http_server(port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+
+    def one(i):
+        sent, want = sentences[i % len(sentences)]
+        req = urllib.request.Request(
+            f"{base}/predict_voted",
+            data=json.dumps({"sentence": sent}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            out = json.loads(resp.read())["result"]
+        if want is None:
+            assert out["selection_rule"] is None, sent
+        else:
+            assert out["tags"] == want, sent
+        return True
+
+    try:
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            assert all(ex.map(one, range(100)))
+    finally:
+        srv.shutdown()
+        srv.server_close()

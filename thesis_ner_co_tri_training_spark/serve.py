@@ -106,14 +106,17 @@ def make_http_server(port: int = 0):
                 self._send({"error": "not found"}, 404)
 
         def do_POST(self):  # noqa: N802
-            if self.path != "/predict":
+            if self.path not in ("/predict", "/predict_voted"):
                 self._send({"error": "not found"}, 404)
                 return
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 payload = _json.loads(self.rfile.read(n) or b"{}")
                 text = payload["sentence"]
-                self._send({"result": predict(text)})
+                if self.path == "/predict_voted":
+                    self._send({"result": predict_voted(text)})
+                else:
+                    self._send({"result": predict(text)})
             except Exception:
                 # api.py:53-55: failures answer 200 {"result":"Model Failed"}
                 self._send({"result": "Model Failed"})
