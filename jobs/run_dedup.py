@@ -110,7 +110,10 @@ def do_init(spark, wh: str, n: int) -> dict:
 
     docs = _docs_from_pages(gen_pages_df(spark, n))
     kw = dict(INDEX_PARAMS)
-    params = {**kw, "next_start": n}
+    # batch_tag "init" makes the seed snapshot ledger-eligible: if
+    # --maintain expires it before any --append, the index params +
+    # next_start must survive in batch-ledger.json for _latest_params
+    params = {**kw, "next_start": n, "batch_tag": "init"}
     write_table(docs, wh, "dedup_docs", stage_params=params)
     write_table(
         minhash_bands(docs, id_col="url", **kw), wh, "dedup_index",
@@ -206,7 +209,7 @@ def do_append(spark, wh: str, n: int, threshold: float = 0.8) -> dict:
     # matches FIRST: the repair pass's order invariant
     m_rows = write_table(matches, wh, "dedup_matches",
                          stage_params=params, mode="append",
-                         operation="append")["row_count"]
+                         operation="append")["added_rows"]
     _maintain_tables(batch, params)
     return {
         "op": "append", "batch_tag": batch_tag, "resumed": False,

@@ -1,0 +1,112 @@
+"""Closed-loop crawl cycles: budget -> dedup gate -> incremental KG.
+
+Pins jobs/run_crawl_cycle.py's loop invariants: the frontier advances
+exactly-once per cycle, the budget split is exact, the dedup gate drops
+pre-indexed near-dups, yield-weighted allocation shifts budget toward
+productive domains, and a crash between pipeline stages recovers.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from jobs.run_crawl_cycle import INDEX_KW, run_cycle
+from thesis_ner_co_tri_training_spark.sources import catalog
+from thesis_ner_co_tri_training_spark.sources.pages import gen_pages_df
+
+BUDGET = 30
+
+
+@pytest.fixture(scope="module")
+def wh(spark, tmp_path_factory):
+    w = str(tmp_path_factory.mktemp("crawl_wh"))
+    # pre-seed the dedup index with mirror copies of frontier pages
+    # 0..9 (same text, different url): cycle 1's dedup gate must drop
+    # whichever of them it crawls
+    from thesis_ner_co_tri_training_spark.operators.dedup import (
+        minhash_bands, token_shingles)
+
+    mirrors = gen_pages_df(spark, 10).select(
+        F.regexp_replace("url", "^https://", "https://old.mirror.")
+        .alias("url"), "text")
+    params = {**INDEX_KW, "batch_tag": "seed"}
+    catalog.write_table(mirrors, w, "dedup_docs", stage_params=params)
+    catalog.write_table(minhash_bands(mirrors, id_col="url", **INDEX_KW),
+                        w, "dedup_index", stage_params=params)
+    catalog.write_table(token_shingles(mirrors, id_col="url",
+                                       n=INDEX_KW["n"]),
+                        w, "dedup_shingles", stage_params=params)
+    return w
+
+
+def test_two_cycles_budget_dedup_and_growth(spark, wh):
+    c1 = run_cycle(spark, wh, BUDGET)
+    assert c1["cycle_tag"] == "cycle-0"
+    assert c1["frontier"] == [0, 2 * BUDGET]
+    # exact split: crawled <= budget (a domain's allocation can exceed
+    # its frontier supply), and the gate dropped the pre-seeded mirrors
+    # that were actually crawled
+    assert 0 < c1["crawled"] <= BUDGET
+    assert c1["near_dupes_dropped"] > 0
+    assert c1["ingested"] == c1["crawled"] - c1["near_dupes_dropped"]
+    assert c1["pages_total"] == c1["ingested"]
+    assert c1["mentions_total"] > 0
+
+    c2 = run_cycle(spark, wh, BUDGET)
+    assert c2["cycle_tag"] == f"cycle-{2 * BUDGET}"
+    assert c2["frontier"] == [2 * BUDGET, 4 * BUDGET]
+    assert c2["near_dupes_dropped"] == 0  # fresh ids, nothing indexed yet
+    assert c2["pages_total"] == c1["pages_total"] + c2["ingested"]
+    assert c2["mentions_total"] >= c1["mentions_total"]
+    # yield-weighted scheduling: cycle 2 ran with mention-yield weights;
+    # allocations are an exact budget split
+    assert sum(c2["top_allocations"].values()) <= BUDGET
+    # index grew by exactly the ingested survivors of both cycles
+    docs = catalog.read_table(spark, wh, "dedup_docs")
+    assert docs.count() == 10 + c1["ingested"] + c2["ingested"]
+    # every cycle tag is on all three index tables (maintenance ran)
+    for t in ("dedup_docs", "dedup_index", "dedup_shingles"):
+        tags = catalog.batch_tags(wh, t)
+        assert {"cycle-0", f"cycle-{2 * BUDGET}"} <= tags, t
+
+
+def test_crash_recovery_resumes_cycle(spark, wh):
+    """Kill the last cycle's global stages + index appends; the next
+    cycle must first finish the old one (pipeline resume + index
+    repair), then run itself — no double appends anywhere."""
+    last = [s for s in catalog.snapshots(wh, "pages")
+            if s["params"].get("batch_tag", "").startswith("cycle-")][-1]
+    tag = last["params"]["batch_tag"]
+    # simulate crash after mentions append: drop edges' latest snapshot
+    # and the index tables' newest (this cycle's) appends
+    for t in ("edges",):
+        s = catalog.latest_snapshot(wh, t)
+        os.remove(os.path.join(wh, t, "metadata",
+                               f"snapshot-{s['snapshot_id']}.json"))
+        shutil.rmtree(os.path.join(wh, t, "data",
+                                   f"snap-{s['snapshot_id']}"))
+    for t in ("dedup_docs", "dedup_index", "dedup_shingles"):
+        s = catalog.latest_snapshot(wh, t)
+        assert s["params"]["batch_tag"] == tag
+        os.remove(os.path.join(wh, t, "metadata",
+                               f"snapshot-{s['snapshot_id']}.json"))
+        shutil.rmtree(os.path.join(wh, t, "data",
+                                   f"snap-{s['snapshot_id']}"))
+    docs_before = catalog.read_table(spark, wh, "dedup_docs").count()
+
+    c3 = run_cycle(spark, wh, BUDGET)
+    assert c3["recovered"]["resumed_pipeline"] == tag
+    assert any(x.startswith("dedup_docs:") for x in
+               c3["recovered"]["repaired_index"])
+    # the repaired appends restored exactly the lost batch, and cycle 3
+    # appended only its own survivors on top
+    docs_after = catalog.read_table(spark, wh, "dedup_docs").count()
+    prev_ingested = last["added_rows"]
+    assert docs_after == docs_before + prev_ingested + c3["ingested"]
+    # pipeline row sets stay consistent: mentions == its own snapshot
+    assert catalog.read_table(spark, wh, "mentions").count() == \
+        catalog.latest_snapshot(wh, "mentions")["row_count"]

@@ -319,7 +319,7 @@ def test_catalog_sink_exactly_once_incremental(spark, tmp_path):
     assert inc.count() == s1["added_rows"] == s1["row_count"] - n0
     assert s1["added_rows"] > 0
     # exactly-once across everything: catalog table == batch replay
-    want = _batch_mentions_n(spark, 14)
+    want = _batch_mentions_df(spark, 14)
     got = catalog.read_table(spark, wh, "mentions")
     assert got.count() == want.count()
     assert got.select("url", "sent_id", "beg", "end").exceptAll(
@@ -333,7 +333,7 @@ def test_catalog_sink_exactly_once_incremental(spark, tmp_path):
         "stream-batch-0", "stream-batch-1"}
 
 
-def _batch_mentions_n(spark, n):
+def _batch_mentions_df(spark, n):
     pages = gen_pages_df(spark, n, partitions=2)
     voted = vote_mentions(tag_sentences_df(explode_sentences(
         pages.drop("text"))))

@@ -198,6 +198,7 @@ def run_pipeline_incremental(
     batch_tag: str,
     params: dict[str, Any] | None = None,
     shuffle_partitions: int | None = None,
+    pages_params: dict[str, Any] | None = None,
 ) -> dict[str, Any]:
     """Process ONE new crawl batch through the DAG incrementally.
 
@@ -282,7 +283,10 @@ def run_pipeline_incremental(
                 "start a fresh warehouse for --append-pages")
         pages_snap = catalog.write_table(
             new_pages, warehouse, "pages",
-            stage_params={"batch_tag": batch_tag},
+            # pages_params: caller metadata riding the batch snapshot
+            # (e.g. run_crawl_cycle's crawl-frontier high-water mark) —
+            # batch_tag always wins
+            stage_params={**(pages_params or {}), "batch_tag": batch_tag},
             mode="append" if prev_pages is not None else "overwrite",
         )
     batch_id = pages_snap["snapshot_id"]
