@@ -55,8 +55,18 @@ DEFAULT_PAGES = int(os.environ.get("BENCH_SCALING_PAGES", "120000"))
 INPUT_FILES = 256  # fixed task granularity at every level
 
 
-def run_level(cores: int, pages_dir: str, n_pages: int) -> None:
-    """Spark child: one parallelism level, prints one JSON line."""
+def run_level(cores: int, pages_dir: str, n_pages: int,
+              source: str = "html", arrow_batch: int | None = None) -> None:
+    """Spark child: one parallelism level, prints one JSON line.
+
+    source="text" is the bytes-per-doc experiment variant (r3 verdict
+    item 2): the corpus is column-sliced to the already-extracted text
+    column, so the scan + Arrow socket move ~an order of magnitude fewer
+    bytes per page and the worker skips extract_text — the lever that
+    tests whether the 8->32 wall is the host's memory system.
+    arrow_batch overrides spark.sql.execution.arrow.maxRecordsPerBatch
+    (default 10000): smaller batches shrink each worker's peak working
+    set at the cost of more socket round-trips."""
     from pyspark.sql import functions as F
 
     from thesis_ner_co_tri_training_spark.operators.mentions import spans_expr
@@ -69,12 +79,16 @@ def run_level(cores: int, pages_dir: str, n_pages: int) -> None:
     # cluster sees on a 100TB corpus where 128MB splits are plentiful;
     # default packing would coalesce this sandbox's ~130KB files into ~4
     # partitions and serialize the whole narrow pipeline).
+    extra_conf = {
+        "spark.sql.files.maxPartitionBytes": str(512 * 1024),
+        "spark.sql.files.openCostInBytes": str(128 * 1024),
+    }
+    if arrow_batch:
+        extra_conf["spark.sql.execution.arrow.maxRecordsPerBatch"] = str(
+            arrow_batch)
     spark = get_spark(f"bench_scaling_{cores}", cpus=cores,
                       shuffle_partitions=max(2 * cores, 16),
-                      extra_conf={
-                          "spark.sql.files.maxPartitionBytes": str(512 * 1024),
-                          "spark.sql.files.openCostInBytes": str(128 * 1024),
-                      })
+                      extra_conf=extra_conf)
 
     def job(src):
         # Single action: the span fold is evaluated once per row and
@@ -95,7 +109,7 @@ def run_level(cores: int, pages_dir: str, n_pages: int) -> None:
     # import + per-worker gazetteer build) and JIT/codegen. A limit()-based
     # slice would coalesce to ~1 partition and warm only one worker,
     # leaving 10-20s of fork/import system time inside the measurement.
-    pages = spark.read.parquet(pages_dir).select("url", "html")
+    pages = spark.read.parquet(pages_dir).select("url", source)
     job(pages)
 
     t0 = time.time()
@@ -104,6 +118,8 @@ def run_level(cores: int, pages_dir: str, n_pages: int) -> None:
     print(json.dumps({
         "kind": "spark",
         "cores": cores,
+        "source": source,
+        "arrow_batch": arrow_batch,
         "pages": n_pages,
         "seconds": round(sec, 3),
         "docs_per_sec": round(n_pages / sec, 2),
@@ -113,12 +129,14 @@ def run_level(cores: int, pages_dir: str, n_pages: int) -> None:
     spark.stop()
 
 
-def _ceiling_worker(files: list[str]) -> tuple[int, int]:
+def _ceiling_worker(task: list[str] | tuple[list[str], str]) -> tuple[int, int]:
     """One control proc: parquet files -> (pages, voted sentences).
 
     Must stay the IDENTICAL per-sentence workload as the fused Spark
     worker (tag_and_vote_pages_df's inner loop) — same fused stats path,
-    so the control measures the host, not a different algorithm."""
+    so the control measures the host, not a different algorithm. The
+    task is (files, source); source="text" mirrors the Spark variant's
+    column slice (read only the text column, skip extract_text)."""
     import pyarrow.parquet as pq
 
     from thesis_ner_co_tri_training_spark.functions.textnorm import (
@@ -127,13 +145,14 @@ def _ceiling_worker(files: list[str]) -> tuple[int, int]:
     from thesis_ner_co_tri_training_spark.operators.mentions import (
         vote_sentence_flat)
 
+    files, source = (task if isinstance(task, tuple) else (task, "html"))
     tagging._resources()
     n_pages = n_kept = 0
     for f in files:
-        tbl = pq.read_table(f, columns=["html"])
-        for payload in tbl.column("html").to_pylist():
+        tbl = pq.read_table(f, columns=[source])
+        for payload in tbl.column(source).to_pylist():
             n_pages += 1
-            text = extract_text(payload)
+            text = payload if source == "text" else extract_text(payload)
             for sent in split_sentences(text):
                 toks, views = tagging.tag_all_views_stats(sent)
                 tags_v = [v[0] for v in views]
@@ -147,17 +166,18 @@ def _ceiling_worker(files: list[str]) -> tuple[int, int]:
     return n_pages, n_kept
 
 
-def run_ceiling(cores: int, pages_dir: str, n_pages: int) -> None:
+def run_ceiling(cores: int, pages_dir: str, n_pages: int,
+                source: str = "html") -> None:
     """Control child: the identical per-page workload, bare Python
     multiprocessing — no Spark/JVM/Arrow. Measures the HOST's scaling
     ceiling for this workload at `cores` processes."""
     from multiprocessing import Pool
 
     files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
-    shards = [files[i::cores] for i in range(cores)]
+    shards = [(files[i::cores], source) for i in range(cores)]
     with Pool(cores) as pool:
         # warmup: imports + gazetteer build in every proc
-        pool.map(_ceiling_worker, [files[:1]] * cores)
+        pool.map(_ceiling_worker, [(files[:1], source)] * cores)
         t0 = time.time()
         res = pool.map(_ceiling_worker, shards)
         sec = time.time() - t0
@@ -165,6 +185,7 @@ def run_ceiling(cores: int, pages_dir: str, n_pages: int) -> None:
     print(json.dumps({
         "kind": "ceiling",
         "cores": cores,
+        "source": source,
         "pages": total,
         "seconds": round(sec, 3),
         "docs_per_sec": round(total / sec, 2),
@@ -211,16 +232,21 @@ def main() -> int:
     ap.add_argument("--pages-dir", default=None,
                     help="defaults to /tmp/bench_scaling_pages_<pages>")
     ap.add_argument("--levels", default="2,8,32")
+    ap.add_argument("--source", default="html", choices=["html", "text"],
+                    help="text = column-sliced bytes-per-doc variant")
+    ap.add_argument("--arrow-batch", type=int, default=None)
     args = ap.parse_args()
 
     if args.pages_dir is None:
         args.pages_dir = f"/tmp/bench_scaling_pages_{args.pages}"
 
     if args.cores:
-        run_level(args.cores, args.pages_dir, args.pages)
+        run_level(args.cores, args.pages_dir, args.pages,
+                  source=args.source, arrow_batch=args.arrow_batch)
         return 0
     if args.ceiling_cores:
-        run_ceiling(args.ceiling_cores, args.pages_dir, args.pages)
+        run_ceiling(args.ceiling_cores, args.pages_dir, args.pages,
+                    source=args.source)
         return 0
 
     # Parent: generate shared input once.
