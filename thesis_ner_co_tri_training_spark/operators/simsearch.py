@@ -150,6 +150,11 @@ def lsh_topk(
     toward brute force at ~(1+probes)x the candidate-scoring cost, still
     with zero shuffle on the candidate side (the probe fan-out happens on
     the broadcast query side only).
+
+    Measured recall/cost table (recall@10 and pairs-scored vs probes in
+    {0,1,2,4} at bits=6 on the sf0.1 embeddings): BENCH/BASELINE.md
+    "ANN recall/cost vs multi-probe count", produced by
+    jobs/bench_ann.py.
     """
     cb = hyperplane_signature(candidates, dim, bits, vec_col, seed)
     qb = hyperplane_signature(queries, dim, bits, vec_col, seed,
