@@ -79,4 +79,45 @@ def get_spark(
     # CollationAwareUTF8String.<clinit>, all other executors parked).
     # Touching it here is single-threaded and off every timed path.
     spark.sql("SELECT lower('İÄßΣ'), upper('ıäßς'), initcap('ärger')").collect()
+    _warn_if_heap_undersized(spark)
     return spark
+
+
+def _warn_if_heap_undersized(spark: SparkSession) -> None:
+    """spark.driver.memory set via the builder only applies when THIS
+    process launches the JVM (plain `python` entry). Under spark-submit
+    the driver JVM is already running, the conf is silently ignored, and
+    local-mode jobs run on spark-submit's 1g default — measured: the
+    240k-page pipeline OOMs its parquet writers at 32 cores. Can't be
+    fixed from here (the JVM is up); warn so the operator passes
+    `--driver-memory $SPARK_DRIVER_MEM` (jobs/bench_pipeline_e2e.py
+    does; small smoke runs are fine at 1g)."""
+    want = os.environ.get("SPARK_DRIVER_MEM", "8g").strip().lower()
+    units = {"k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}
+    try:
+        want_bytes = (float(want[:-1]) * units[want[-1]]
+                      if want[-1] in units else float(want))
+    except ValueError:
+        return
+    try:
+        got = spark._jvm.java.lang.Runtime.getRuntime().maxMemory()
+    except Exception:
+        return  # no JVM handle (e.g. Spark Connect) — nothing to check
+    if got < 0.7 * want_bytes:
+        msg = (
+            f"driver JVM heap is {got / 2**30:.1f}g but "
+            f"spark.driver.memory wants {want} — launched via "
+            f"spark-submit? Builder-set driver memory cannot apply to an "
+            f"already-running JVM; pass --driver-memory {want} on the "
+            f"spark-submit command line for large inputs.")
+        try:
+            # Through the JVM logger, NOT python stderr: under
+            # spark-submit, PythonRunner merges the python process's
+            # stderr into the job's STDOUT, which would corrupt the
+            # jobs' one-JSON-line stdout contract.
+            (spark._jvm.org.apache.logging.log4j.LogManager
+             .getLogger("kg_construct.session").warn(msg))
+        except Exception:
+            import sys
+
+            print(f"WARNING: {msg}", file=sys.__stderr__)
