@@ -55,7 +55,8 @@ def one_run(pages: int, cpus: int, warehouse: str) -> dict:
         # python-launched session get_spark builds (A/B at 8g/60k/32c:
         # G1 45.3s vs ParallelGC 47.4s, same epoch — parity, not a
         # perf fix; the heap is the one that breaks).
-        "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "8g"),
+        "--driver-memory", os.environ.get(
+            "SPARK_DRIVER_MEM", "8g" if cpus <= 8 else "16g"),
         "--conf", "spark.driver.extraJavaOptions=-XX:+UseParallelGC",
         "--py-files", os.path.join(REPO, "dist/engine.zip"),
         os.path.join(REPO, "jobs/run_pipeline.py"),

@@ -30,6 +30,8 @@ def get_spark(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
+    driver_mem = os.environ.get("SPARK_DRIVER_MEM",
+                                "8g" if cpus <= 8 else "16g")
 
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -45,7 +47,11 @@ def get_spark(
         # right-sized heap + throughput GC measurably beats one huge lazily
         # committed heap here (page-fault/GC churn at high thread counts:
         # 48g+G1 showed 26-47s on the 60k-page KG job vs 19s with 8g+Parallel).
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Scaled with thread count: 32 concurrent tasks allocate ~4x faster
+        # than 8, and the STAGED pipeline (full materialization per stage)
+        # measured 82s -> 68s at 240k pages/32c moving 8g -> 16g — the 8g
+        # tuning was done on the fused DAG, which allocates far less.
+        .config("spark.driver.memory", driver_mem)
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -79,11 +85,12 @@ def get_spark(
     # CollationAwareUTF8String.<clinit>, all other executors parked).
     # Touching it here is single-threaded and off every timed path.
     spark.sql("SELECT lower('İÄßΣ'), upper('ıäßς'), initcap('ärger')").collect()
-    _warn_if_heap_undersized(spark)
+    _warn_if_heap_undersized(spark, driver_mem)
     return spark
 
 
-def _warn_if_heap_undersized(spark: SparkSession) -> None:
+def _warn_if_heap_undersized(spark: SparkSession,
+                             want: str | None = None) -> None:
     """spark.driver.memory set via the builder only applies when THIS
     process launches the JVM (plain `python` entry). Under spark-submit
     the driver JVM is already running, the conf is silently ignored, and
@@ -92,7 +99,7 @@ def _warn_if_heap_undersized(spark: SparkSession) -> None:
     fixed from here (the JVM is up); warn so the operator passes
     `--driver-memory $SPARK_DRIVER_MEM` (jobs/bench_pipeline_e2e.py
     does; small smoke runs are fine at 1g)."""
-    want = os.environ.get("SPARK_DRIVER_MEM", "8g").strip().lower()
+    want = (want or os.environ.get("SPARK_DRIVER_MEM", "8g")).strip().lower()
     units = {"k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}
     try:
         want_bytes = (float(want[:-1]) * units[want[-1]]
