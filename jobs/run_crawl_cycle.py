@@ -57,6 +57,24 @@ sys.path.insert(0, REPO)
 INDEX_KW = dict(n=3, num_hashes=32, bands=8, hasher="xxhash64")
 
 
+def _index_kw(warehouse: str) -> dict:
+    """Index params persisted with this warehouse's own index (newest
+    snapshot carrying them, else the expiry ledger — the run_dedup
+    `_latest_params` pattern). INDEX_KW only seeds a brand-new
+    warehouse: hashing new batches with drifted defaults against an
+    index built under the old params would silently stop banding
+    collisions, so the persisted params always win."""
+    from thesis_ner_co_tri_training_spark.sources import catalog
+
+    for s in reversed(catalog.snapshots(warehouse, "dedup_docs")):
+        if "hasher" in s.get("params", {}):
+            return {k: s["params"][k] for k in INDEX_KW}
+    for e in reversed(catalog.batch_ledger(warehouse, "dedup_docs")):
+        if "hasher" in e.get("params", {}):
+            return {k: e["params"][k] for k in INDEX_KW}
+    return dict(INDEX_KW)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--warehouse", required=True)
@@ -88,12 +106,19 @@ def _domain(col):
 
 
 def _pages_batches(warehouse):
-    """Cycle-tagged pages snapshots, oldest first."""
+    """Cycle-tagged pages batches, oldest first — live snapshots PLUS
+    the expiry ledger, so table maintenance (compact + expire-keep on
+    the pages table) never resets the frontier high-water mark or the
+    already-appended set back to zero (ledger entries keep the full
+    params, including frontier_end)."""
     from thesis_ner_co_tri_training_spark.sources import catalog
 
-    return [s for s in catalog.snapshots(warehouse, "pages")
-            if str(s.get("params", {}).get("batch_tag", ""))
-            .startswith("cycle-")]
+    by_id: dict[int, dict] = {}
+    for s in (catalog.batch_ledger(warehouse, "pages")
+              + catalog.snapshots(warehouse, "pages")):
+        if str(s.get("params", {}).get("batch_tag", "")).startswith("cycle-"):
+            by_id[s["snapshot_id"]] = s
+    return [by_id[i] for i in sorted(by_id)]
 
 
 def recover(spark, warehouse: str) -> dict:
@@ -112,19 +137,29 @@ def recover(spark, warehouse: str) -> dict:
     if not batches:
         return done
     last = batches[-1]
+    # snapshots + ledger: an expire-keep on edges must not look like an
+    # unfinished batch (re-resuming a finished one crashes append_stage)
     edges_done = {s.get("params", {}).get("pages_snapshot")
                   for s in catalog.snapshots(warehouse, "edges")}
+    edges_done |= {e.get("params", {}).get("pages_snapshot")
+                   for e in catalog.batch_ledger(warehouse, "edges")}
     if last["snapshot_id"] not in edges_done:
         tag = last["params"]["batch_tag"]
         run_pipeline_incremental(spark, None, warehouse, batch_tag=tag)
         done["resumed_pipeline"] = tag
 
+    kw = _index_kw(warehouse)
     for snap in batches:
         tag = snap["params"]["batch_tag"]
         if tag in catalog.batch_tags(warehouse, "dedup_shingles") \
                 and tag in catalog.batch_tags(warehouse, "dedup_index") \
                 and tag in catalog.batch_tags(warehouse, "dedup_docs"):
             continue
+        # An UNindexed batch whose pages snapshot was already expired
+        # cannot be re-derived; read_table/read_incremental then raise
+        # loudly (normal operation indexes each batch within its own
+        # cycle, so only a crash-before-step-5 + maintenance-before-
+        # rerun sequence can reach that state).
         parent = snap.get("parent_snapshot_id")
         if parent is None:
             delta = catalog.read_table(spark, warehouse, "pages",
@@ -134,13 +169,13 @@ def recover(spark, warehouse: str) -> dict:
                 spark, warehouse, "pages", from_snapshot=parent,
                 to_snapshot=snap["snapshot_id"])
         docs = delta.select("url", "text").localCheckpoint(eager=True)
-        params = {**INDEX_KW, "batch_tag": tag}
+        params = {**kw, "batch_tag": tag}
         for table, build in (
             ("dedup_docs", lambda: docs),
             ("dedup_index",
-             lambda: minhash_bands(docs, id_col="url", **INDEX_KW)),
+             lambda: minhash_bands(docs, id_col="url", **kw)),
             ("dedup_shingles",
-             lambda: token_shingles(docs, id_col="url", n=INDEX_KW["n"])),
+             lambda: token_shingles(docs, id_col="url", n=kw["n"])),
         ):
             if tag not in catalog.batch_tags(warehouse, table):
                 catalog.write_table(
@@ -219,7 +254,7 @@ def run_cycle(spark, warehouse: str, budget: int,
             catalog.read_table(spark, warehouse, "dedup_index"),
             catalog.read_table(spark, warehouse, "dedup_docs"),
             id_col="url", threshold=threshold,
-            **INDEX_KW).localCheckpoint(eager=True)
+            **_index_kw(warehouse)).localCheckpoint(eager=True)
         n_dupes = matches.select("a").distinct().count()
         batch = batch.join(
             matches.select(F.col("a").alias("url")).distinct(),

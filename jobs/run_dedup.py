@@ -97,8 +97,16 @@ def _latest_params(wh: str, table: str, key: str):
 
 
 def index_kw(wh: str) -> dict:
-    return {k: _latest_params(wh, "dedup_docs", "hasher")[k]
-            for k in INDEX_PARAMS}
+    params = _latest_params(wh, "dedup_docs", "hasher")
+    if params is None:
+        raise ValueError(
+            f"{wh}: no dedup-index parameters found in any dedup_docs "
+            f"snapshot or the batch ledger — not an initialized dedup "
+            f"warehouse (run --init first), or its params-bearing "
+            f"snapshot was expired by a pre-ledger release. Appending "
+            f"with fresh defaults would silently stop banding "
+            f"collisions, so this is fatal by design.")
+    return {k: params[k] for k in INDEX_PARAMS}
 
 
 def do_init(spark, wh: str, n: int) -> dict:

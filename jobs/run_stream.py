@@ -15,7 +15,8 @@ crawl-feed semantics; the checkpoint carries the file ledger).
 
 With `--warehouse WH` the stream lands in the snapshot CATALOG table
 `WH/<what>` instead (foreachBatch exactly-once appends keyed by
-stream-batch tags): streamed mentions/triples then get time travel,
+(stream identity, batch id) tags): streamed mentions/triples then get
+time travel,
 `read_incremental` for downstream consumers, per-batch lineage, and
 `table_maint` compaction — the same warehouse contract as batch stages.
 """

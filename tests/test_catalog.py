@@ -109,7 +109,10 @@ def test_expire_snapshots_gc(spark, tmp_path):
     # snap-0/snap-1 dirs are unreferenced by the compacted snapshot
     assert res["removed_dirs"] == ["snap-0", "snap-1"]
     data = os.listdir(os.path.join(wh, "t", "data"))
-    assert sorted(d for d in data if d.startswith("snap-")) == ["snap-2"]
+    # expired dirs AND their writer-claim markers are GC'd; the kept
+    # snapshot keeps both
+    assert sorted(d for d in data if d.startswith("snap-")) == [
+        "snap-2", "snap-2.claim"]
     assert _ids(catalog.read_table(spark, wh, "t")) == list(range(20))
     assert catalog.table_complete(wh, "t")
     with pytest.raises(ValueError, match="does not exist"):
@@ -198,13 +201,20 @@ def test_expire_preserves_batch_ledger(spark, tmp_path):
 
 
 def test_concurrent_snap_id_claim_never_clobbers(spark, tmp_path):
-    """A snap dir already claimed by another writer (simulated by
-    pre-creating it) must push the write to the NEXT id instead of
-    overwriting the dir; a manifest collision raises instead of
-    silently replacing the other writer's snapshot."""
+    """A snap id already claimed by another writer must push the write
+    to the NEXT id instead of overwriting; a manifest collision raises
+    instead of silently replacing the other writer's snapshot. The
+    claim is an exclusive-create MARKER FILE, not the dir: Spark's
+    SaveMode.Overwrite deletes and recreates the data dir mid-write, so
+    a dir-based claim is silently released exactly when it matters."""
     wh = str(tmp_path)
     catalog.write_table(_df(spark, 0, 3), wh, "t")
-    os.makedirs(os.path.join(wh, "t", "data", "snap-1"))  # rival claim
+    # the first write's own claim survives its dir being rewritten —
+    # this is the property the marker exists for
+    assert os.path.exists(os.path.join(wh, "t", "data", "snap-0.claim"))
+    # rival writer mid-write: claim marker taken, data dir in flight
+    open(os.path.join(wh, "t", "data", "snap-1.claim"), "x").close()
+    os.makedirs(os.path.join(wh, "t", "data", "snap-1"))
     snap = catalog.write_table(_df(spark, 3, 6), wh, "t", mode="append")
     assert snap["snapshot_id"] == 2
     assert snap["data_paths"] == ["snap-0", "snap-2"]
@@ -213,3 +223,5 @@ def test_concurrent_snap_id_claim_never_clobbers(spark, tmp_path):
     assert os.path.isdir(os.path.join(wh, "t", "data", "snap-1"))
     res = catalog.expire_snapshots(wh, "t", keep_last=1)
     assert "snap-1" in res["removed_dirs"]
+    assert not os.path.exists(os.path.join(wh, "t", "data",
+                                           "snap-1.claim"))

@@ -110,3 +110,39 @@ def test_crash_recovery_resumes_cycle(spark, wh):
     # pipeline row sets stay consistent: mentions == its own snapshot
     assert catalog.read_table(spark, wh, "mentions").count() == \
         catalog.latest_snapshot(wh, "mentions")["row_count"]
+
+
+def test_cycles_survive_table_maintenance(spark, wh):
+    """The review-r4 headline bug: compact + expire-keep on the pages
+    (and edges) tables must not reset the frontier high-water mark or
+    make the last batch look unfinished — _pages_batches and recover()
+    read snapshots PLUS the expiry ledger, like run_pipeline does."""
+    from jobs.run_crawl_cycle import _index_kw, _pages_batches
+
+    before = _pages_batches(wh)
+    assert before, "previous tests ran cycles"
+    hwm = before[-1]["params"]["frontier_end"]
+    next_tag = f"cycle-{hwm}"
+
+    for t in ("pages", "edges"):
+        catalog.compact_table(spark, wh, t, target_files=1)
+        catalog.expire_snapshots(wh, t, keep_last=1)
+
+    # the ledger keeps every cycle batch: same high-water mark, and the
+    # already-appended set did not shrink
+    after = _pages_batches(wh)
+    assert after[-1]["params"]["frontier_end"] == hwm
+    assert {b["params"]["batch_tag"] for b in before} <= \
+        {b["params"]["batch_tag"] for b in after}
+    # index params survive maintenance too (read from persisted state)
+    assert _index_kw(wh) == {k: INDEX_KW[k] for k in INDEX_KW}
+
+    # the next cycle advances the frontier instead of crashing on a
+    # cycle-0 double-append (pre-fix failure mode)
+    c = run_cycle(spark, wh, BUDGET)
+    assert c["cycle_tag"] == next_tag
+    assert c["frontier"][0] == hwm
+    assert c["resumed"] is False
+    # and a rerun of the completed set still proceeds, one further on
+    c2 = run_cycle(spark, wh, BUDGET)
+    assert c2["frontier"][0] == c["frontier"][1] == hwm + 2 * BUDGET

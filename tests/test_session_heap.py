@@ -93,6 +93,19 @@ def test_no_jvm_handle_is_silent(monkeypatch):
     sess._warn_if_heap_undersized(_NoJvm())  # must not raise
 
 
+def test_explicit_8g_against_16g_intent_is_silent(monkeypatch):
+    # An operator following the documented fix (--driver-memory 8g) on
+    # a 32-cpu host where get_spark's intent is 16g must NOT be warned:
+    # the warning exists for the silent spark-submit 1g default only.
+    monkeypatch.delenv("SPARK_DRIVER_MEM", raising=False)
+    spark = _FakeSpark(int(7.1 * 2**30))
+    sess._warn_if_heap_undersized(spark, "16g")
+    assert spark.warned == []
+    spark2 = _FakeSpark(1 * 2**30)  # the actual default still fires
+    sess._warn_if_heap_undersized(spark2, "16g")
+    assert len(spark2.warned) == 1
+
+
 def test_bytes_and_mb_units(monkeypatch):
     monkeypatch.setenv("SPARK_DRIVER_MEM", "512m")
     spark = _FakeSpark(500 * 2**20)

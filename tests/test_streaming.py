@@ -277,7 +277,7 @@ def test_catalog_sink_exactly_once_incremental(spark, tmp_path):
     lands exactly once and read_incremental sees exactly the new rows."""
     from thesis_ner_co_tri_training_spark.sources import catalog
     from thesis_ner_co_tri_training_spark.streaming.ingest import (
-        append_batch_to_catalog, start_catalog_sink)
+        append_batch_to_catalog, start_catalog_sink, stream_identity)
 
     src = str(tmp_path / "pages_in")
     wh = str(tmp_path / "wh")
@@ -291,9 +291,11 @@ def test_catalog_sink_exactly_once_incremental(spark, tmp_path):
         q.awaitTermination(120)
 
     drain()
+    sid = stream_identity(ckpt)
     s0 = catalog.latest_snapshot(wh, "mentions")
     n0 = s0["row_count"]
-    assert n0 > 0 and s0["params"]["batch_tag"] == "stream-batch-0"
+    assert n0 > 0 and s0["params"]["batch_tag"] == f"stream-{sid}-batch-0"
+    assert s0["params"]["stream_id"] == sid
     assert s0["operation"] == "stream-append"
 
     # rerun with no new files: no new snapshot (checkpoint file ledger)
@@ -302,9 +304,14 @@ def test_catalog_sink_exactly_once_incremental(spark, tmp_path):
         s0["snapshot_id"]
 
     # crash replay: Structured Streaming re-invokes foreachBatch with the
-    # last batch_id after an uncommitted crash — must be a no-op
-    batch0 = catalog.read_table(spark, wh, "mentions", snapshot_id=0)
-    assert append_batch_to_catalog(batch0, 0, wh, "mentions") is None
+    # last batch_id after an uncommitted crash — must be a no-op for the
+    # SAME stream identity...
+    # eager cut: the end of this test re-appends batch0 AFTER expiry
+    # has deleted snapshot 0's original files
+    batch0 = catalog.read_table(
+        spark, wh, "mentions", snapshot_id=0).localCheckpoint(eager=True)
+    assert append_batch_to_catalog(
+        batch0, 0, wh, "mentions", stream_id=sid) is None
     assert catalog.latest_snapshot(wh, "mentions")["row_count"] == n0
 
     # new crawl files arrive; resume processes ONLY them
@@ -330,7 +337,20 @@ def test_catalog_sink_exactly_once_incremental(spark, tmp_path):
     catalog.expire_snapshots(wh, "mentions", keep_last=1)
     assert catalog.read_table(spark, wh, "mentions").count() == want.count()
     assert catalog.batch_tags(wh, "mentions") == {
-        "stream-batch-0", "stream-batch-1"}
+        f"stream-{sid}-batch-0", f"stream-{sid}-batch-1"}
+    # a DIFFERENT stream (reset checkpoint / second writer) reusing
+    # batch_id 0 must NOT be mistaken for a replay and must append —
+    # the pre-fix bare-id key silently dropped such batches
+    n_before = catalog.latest_snapshot(wh, "mentions")["row_count"]
+    snap_other = append_batch_to_catalog(
+        batch0, 0, wh, "mentions", stream_id="feedB")
+    assert snap_other is not None
+    assert snap_other["params"]["batch_tag"] == "stream-feedB-batch-0"
+    assert catalog.latest_snapshot(wh, "mentions")["row_count"] == \
+        n_before + n0
+    # and its replay is again a no-op for that same identity
+    assert append_batch_to_catalog(
+        batch0, 0, wh, "mentions", stream_id="feedB") is None
 
 
 def _batch_mentions_df(spark, n):

@@ -496,12 +496,20 @@ def apportion_budget(df: DataFrame, budget: int, key_col: str = "key",
     from pyspark.sql import Window as W
 
     w = F.col(weight_col).cast("long")
-    # Precondition guard (one driver-side scalar, metadata-bounded, like
+    # ONE evaluation of the caller's (possibly expensive) upstream
+    # lineage: cut it to (key, weight) first, then run the precondition
+    # guard and both downstream references (used-total, ranking) off
+    # the cut — the guard would otherwise re-run the whole upstream a
+    # second time (run_crawl_cycle's weights are a full mentions
+    # scan+join per cycle). The cut is (key, long) per row.
+    wdf = df.select(F.col(key_col), w.alias("__w")).localCheckpoint(
+        eager=True)
+    # Precondition guard (one scalar off the cut, like
     # pagerank_fixedpoint's m == 0 guard): a zero/all-null weight total
     # would make __base/__rem NULL via DIV and silently return
     # alloc=NULL for every key.
-    tot_row = df.agg(F.sum(w).alias("__tot"),
-                     F.min(w).alias("__min")).first()
+    tot_row = wdf.agg(F.sum("__w").alias("__tot"),
+                      F.min("__w").alias("__min")).first()
     if tot_row["__tot"] is None or tot_row["__tot"] <= 0:
         raise ValueError(
             f"apportion_budget: weight sum must be positive, got "
@@ -509,20 +517,13 @@ def apportion_budget(df: DataFrame, budget: int, key_col: str = "key",
     if tot_row["__min"] is not None and tot_row["__min"] < 0:
         raise ValueError("apportion_budget: weights must be non-negative")
     tot = int(tot_row["__tot"])
-    base = (
-        df.select(F.col(key_col), w.alias("__w"))
-        .select(
-            key_col,
-            F.expr(f"CAST(({budget} * __w) DIV {tot} AS BIGINT)")
-            .alias("__base"),
-            F.expr(f"CAST(({budget} * __w) % {tot} AS BIGINT)")
-            .alias("__rem"),
-        )
+    base = wdf.select(
+        key_col,
+        F.expr(f"CAST(({budget} * __w) DIV {tot} AS BIGINT)")
+        .alias("__base"),
+        F.expr(f"CAST(({budget} * __w) % {tot} AS BIGINT)")
+        .alias("__rem"),
     )
-    # base is referenced twice (the used-total and the ranking) and
-    # embeds the caller's weight aggregation — cut it so that upstream
-    # runs once; the cut is (key, two longs) per row.
-    base = base.localCheckpoint(eager=True)
     used = base.agg(F.sum("__base").alias("__used"))
     ranked = (
         base.crossJoin(F.broadcast(used))

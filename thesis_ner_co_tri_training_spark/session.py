@@ -110,7 +110,12 @@ def _warn_if_heap_undersized(spark: SparkSession,
         got = spark._jvm.java.lang.Runtime.getRuntime().maxMemory()
     except Exception:
         return  # no JVM handle (e.g. Spark Connect) — nothing to check
-    if got < 0.7 * want_bytes:
+    # The failure mode this catches is the silent spark-submit 1g
+    # DEFAULT; an operator who explicitly passed --driver-memory 8g on
+    # a 32-cpu host (want=16g) made a deliberate choice and must not be
+    # trained to ignore the warning — so only heaps that look like the
+    # unconfigured default (< 4g) fire it.
+    if got < 0.7 * want_bytes and got < 4 * 2**30:
         msg = (
             f"driver JVM heap is {got / 2**30:.1f}g but "
             f"spark.driver.memory wants {want} — launched via "

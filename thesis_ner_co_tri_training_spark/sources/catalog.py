@@ -139,9 +139,13 @@ def partition_metrics_from_files(out_dir: str) -> list[dict[str, Any]]:
     counts; at 240k pages / 32 cores that second scan was ~2s per stage
     x 8 stages of pure overhead, and at 100 TB it would be a second
     pass over the corpus. The footers already carry exact row counts
-    per file (one file per write task, so file order IS write-partition
-    order) — the same place a real Iceberg writer gets its manifest
-    stats from."""
+    per file — the same place a real Iceberg writer gets its manifest
+    stats from. For unpartitioned writes one file = one write task, so
+    path-sorted file order is write-partition order; for partition_by
+    writes a task fans out one file per partition dir it touches, so
+    each entry also records its relative `path` (the honest unit there
+    is the (task x partition-dir) file, and skew reads should group by
+    the path's partition dir)."""
     import pyarrow.parquet as pq
 
     files: list[str] = []
@@ -150,7 +154,8 @@ def partition_metrics_from_files(out_dir: str) -> list[dict[str, Any]]:
                      if f.endswith(".parquet"))
     files.sort()
     return [
-        {"partition": i, "rows": pq.ParquetFile(p).metadata.num_rows}
+        {"partition": i, "rows": pq.ParquetFile(p).metadata.num_rows,
+         "path": os.path.relpath(p, out_dir)}
         for i, p in enumerate(files)
     ]
 
@@ -190,7 +195,16 @@ def write_table(
         rel_dir = f"snap-{snap_id}"
         out_dir = os.path.join(data_root, rel_dir)
         try:
-            os.mkdir(out_dir)
+            # Durable claim: an exclusive-create MARKER FILE beside the
+            # dir, not the dir itself — Spark's SaveMode.Overwrite
+            # deletes and recreates out_dir as part of the write, so a
+            # claim held by the dir alone is silently released mid-write
+            # and a concurrent writer's mkdir would succeed on the very
+            # id being written. The marker is never touched by the
+            # writer, so the claim holds for the snapshot's lifetime.
+            fd = os.open(out_dir + ".claim",
+                         os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
             break
         except FileExistsError:
             snap_id += 1
@@ -405,8 +419,13 @@ def expire_snapshots(warehouse: str, table: str,
         snap = get_snapshot(warehouse, table, sid)
         params = snap.get("params", {})
         # batch_tag: the pages/dedup batch ledger; pages_snapshot: the
-        # per-stage processed-batch ledger of run_pipeline_incremental
-        if params.get("batch_tag") or params.get("pages_snapshot") is not None:
+        # per-stage processed-batch ledger of run_pipeline_incremental;
+        # hasher: dedup-index parameters (a pre-batch_tag --init wrote
+        # them without a tag — losing them unledgered bricks the index,
+        # run_dedup.index_kw has nothing left to read)
+        if (params.get("batch_tag")
+                or params.get("pages_snapshot") is not None
+                or "hasher" in params):
             ledgered.append({
                 "snapshot_id": snap["snapshot_id"],
                 "parent_snapshot_id": snap.get("parent_snapshot_id"),
@@ -430,6 +449,13 @@ def expire_snapshots(warehouse: str, table: str,
             if (d.startswith("snap-") and d not in referenced
                     and os.path.isdir(os.path.join(data_dir, d))):
                 shutil.rmtree(os.path.join(data_dir, d))
+                # the writer's claim marker goes with its dir (the id
+                # stays burned: snap ids are allocated past the max
+                # existing manifest, so no reuse either way)
+                try:
+                    os.remove(os.path.join(data_dir, d + ".claim"))
+                except FileNotFoundError:
+                    pass
                 removed_dirs.append(d)
     for sid in drop:
         os.remove(_snap_meta_path(warehouse, table, sid))
@@ -437,7 +463,9 @@ def expire_snapshots(warehouse: str, table: str,
             "kept_snapshots": keep, "removed_dirs": sorted(removed_dirs),
             "ledgered_batches": [
                 e["params"].get("batch_tag")
-                or f"pages_snapshot={e['params']['pages_snapshot']}"
+                or (f"pages_snapshot={e['params']['pages_snapshot']}"
+                    if e["params"].get("pages_snapshot") is not None
+                    else f"index_params@{e['snapshot_id']}")
                 for e in ledgered]}
 
 

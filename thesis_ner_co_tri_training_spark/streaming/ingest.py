@@ -124,33 +124,61 @@ def start_mentions_sink(
     return writer.start()
 
 
+def stream_identity(checkpoint_dir: str) -> str:
+    """Stable identity of a streaming query: the UUID Spark writes to
+    `<checkpoint>/metadata` at query start (constant across restarts of
+    the same checkpoint, fresh for a new/reset checkpoint); falls back
+    to a hash of the checkpoint path before the metadata file exists."""
+    import hashlib
+    import json as _json
+    import os as _os
+
+    meta = _os.path.join(checkpoint_dir, "metadata")
+    try:
+        with open(meta) as fh:
+            return _json.load(fh)["id"][:8]
+    except Exception:
+        return hashlib.sha1(
+            _os.path.abspath(checkpoint_dir).encode()).hexdigest()[:8]
+
+
 def append_batch_to_catalog(
     batch_df: DataFrame,
     batch_id: int,
     warehouse: str,
     table: str,
     partition_by: list[str] | None = None,
+    stream_id: str = "",
 ) -> dict | None:
     """Idempotent per-micro-batch append into a snapshot catalog table —
     the foreachBatch body of `start_catalog_sink`, exposed for tests.
 
     Exactly-once: Structured Streaming replays the last uncommitted
     batch_id after a crash, so the append is keyed by a
-    `stream-batch-<id>` batch_tag — a tag already present in the
-    table's snapshots (or its expired-snapshot ledger) is a no-op. A
-    crash INSIDE write_table (data dir written, manifest not published)
-    also replays safely: readers only see manifested snap dirs, and the
+    `stream-<stream_id>-batch-<id>` batch_tag — a tag already present
+    in the table's snapshots (or its expired-snapshot ledger) is a
+    no-op. The key includes the STREAM's identity (the checkpoint
+    metadata UUID, Delta's (appId, version) convention), not the bare
+    batch id: batch ids restart at 0 whenever a checkpoint is reset or
+    a second stream targets the same table, and a bare-id key would
+    silently discard those streams' first batches as replays. A crash
+    INSIDE write_table (data dir written, manifest not published) also
+    replays safely: readers only see manifested snap dirs, and the
     replay claims a fresh dir; the orphan is GC'd by expire_snapshots.
     Returns the snapshot record, or None when the batch was already
-    committed."""
+    committed. (Tables written by the pre-stream-id sink carry
+    `stream-batch-<id>` tags, which never collide with the new format;
+    do not resume a mid-crash pre-upgrade stream across this change.)"""
     from ..sources import catalog
 
-    tag = f"stream-batch-{batch_id}"
+    tag = (f"stream-{stream_id}-batch-{batch_id}" if stream_id
+           else f"stream-batch-{batch_id}")
     if tag in catalog.batch_tags(warehouse, table):
         return None
     return catalog.write_table(
         batch_df, warehouse, table, partition_by=partition_by,
-        stage_params={"batch_tag": tag, "stream_batch_id": batch_id},
+        stage_params={"batch_tag": tag, "stream_batch_id": batch_id,
+                      "stream_id": stream_id},
         mode=("append" if catalog.latest_snapshot(warehouse, table)
               is not None else "overwrite"),
         operation="stream-append",
@@ -176,8 +204,13 @@ def start_catalog_sink(
     this sink makes stream output a first-class warehouse table."""
     writer = (
         stream.writeStream.foreachBatch(
+            # stream_identity is resolved lazily INSIDE the batch body:
+            # Spark writes <checkpoint>/metadata at query start, so by
+            # the first batch the stable UUID exists (the path-hash
+            # fallback only covers exotic external foreachBatch use).
             lambda df, bid: append_batch_to_catalog(
-                df, bid, warehouse, table, partition_by))
+                df, bid, warehouse, table, partition_by,
+                stream_id=stream_identity(checkpoint_dir)))
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
