@@ -88,7 +88,17 @@ def main() -> int:
 
         idx_dir = os.path.join(args.out, "index")
         sh_dir = os.path.join(args.out, "old_shingles")
-        if not os.path.exists(idx_dir):
+        # Crash-safe bootstrap: TWO writes (index + shingles) must both
+        # land before the index is usable, so gate on a marker touched
+        # only after the second write — not on idx_dir alone (a crash
+        # between the writes would otherwise wedge every rerun on a
+        # missing sh_dir). No marker => any partial dirs are stale;
+        # rebuild both (the build is deterministic, so this is idempotent).
+        ready = os.path.join(args.out, "_INDEX_READY")
+        if not os.path.exists(ready):
+            import shutil
+            for d in (idx_dir, sh_dir):
+                shutil.rmtree(d, ignore_errors=True)
             hist = gen_pages_df(spark, max(args.pages, 100)).select(
                 F.regexp_replace(
                     "url", "^https://", "https://mirror."
@@ -97,6 +107,7 @@ def main() -> int:
             )
             minhash_bands(hist, id_col="url").write.parquet(idx_dir)
             token_shingles(hist, id_col="url").write.parquet(sh_dir)
+            open(ready, "w").close()
         stream = dedup_against_index_stream(
             pages.select("url", "text", "warc_ts"),
             spark.read.parquet(idx_dir),
@@ -128,9 +139,18 @@ def main() -> int:
             "seconds": round(elapsed, 2),
             "rows_in_sink": snap["row_count"] if snap else 0,
             "snapshot_id": snap["snapshot_id"] if snap else None,
-            "stream_batches": len([s for s in catalog.snapshots(
-                args.warehouse, args.what)
-                if s["params"].get("stream_batch_id") is not None]),
+            # Count batches from live snapshots PLUS the expired-snapshot
+            # ledger — after table_maint --expire-keep the snapshots alone
+            # under-count the exactly-once history (CLAUDE.md expiry rule).
+            "stream_batches": len(set(
+                s["params"]["batch_tag"]
+                for s in catalog.snapshots(args.warehouse, args.what)
+                if s["params"].get("stream_batch_id") is not None
+            ) | set(
+                e["params"]["batch_tag"]
+                for e in catalog.batch_ledger(args.warehouse, args.what)
+                if e.get("params", {}).get("stream_batch_id") is not None
+            )),
             "exactly_once": True,
             "catalog_table": f"{args.warehouse}/{args.what}",
         }))

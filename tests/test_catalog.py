@@ -221,7 +221,16 @@ def test_concurrent_snap_id_claim_never_clobbers(spark, tmp_path):
     assert _ids(catalog.read_table(spark, wh, "t")) == list(range(6))
     # the rival's unpublished dir is orphan-GC'd by expiry, not clobbered
     assert os.path.isdir(os.path.join(wh, "t", "data", "snap-1"))
+    # ... but only once it is OLD: within the orphan grace window the
+    # dir might be the rival's still-in-flight write (the exact
+    # streaming-sink + maintenance-job pair the claim design protects),
+    # so default expiry must leave it alone.
     res = catalog.expire_snapshots(wh, "t", keep_last=1)
+    assert "snap-1" not in res["removed_dirs"]
+    assert os.path.isdir(os.path.join(wh, "t", "data", "snap-1"))
+    # past the grace window it is a crashed write's orphan: GC it
+    res = catalog.expire_snapshots(wh, "t", keep_last=1,
+                                   orphan_grace_s=0.0)
     assert "snap-1" in res["removed_dirs"]
     assert not os.path.exists(os.path.join(wh, "t", "data",
                                            "snap-1.claim"))

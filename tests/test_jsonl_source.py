@@ -57,3 +57,27 @@ def test_jsonl_gz_and_pipeline_feed(spark, tmp_path):
     voted = tag_and_vote_pages_df(pages.select("url", "text"))
     assert voted.count() > 0
     assert set(voted.columns) >= {"url", "tokens", "tags", "confs"}
+
+
+def test_jsonl_bad_timestamp_is_countable_not_silent(spark, tmp_path):
+    """A present-but-unparseable timestamp must set parse_error (a null
+    warc_ts would later vanish silently at any watermark/window — C5);
+    an absent/null ts field stays a plain null warc_ts, unflagged."""
+    from thesis_ner_co_tri_training_spark.sources.jsonl import (
+        read_jsonl_pages)
+
+    lines = [
+        json.dumps({"url": "http://b/1", "text": "ok",
+                    "timestamp": "2024-01-02T03:04:05Z"}),
+        json.dumps({"url": "http://b/2", "text": "ok",
+                    "timestamp": "April 25, 2019"}),      # unparseable
+        json.dumps({"url": "http://b/3", "text": "ok"}),  # no ts field
+    ]
+    df = read_jsonl_pages(spark, _write(tmp_path, "ts.jsonl", lines))
+    rows = {r["url"]: r for r in df.collect()}
+    assert rows["http://b/1"]["parse_error"] is None
+    assert rows["http://b/2"]["warc_ts"] is None
+    assert rows["http://b/2"]["parse_error"].startswith("bad timestamp")
+    assert "April 25" in rows["http://b/2"]["parse_error"]
+    assert rows["http://b/3"]["warc_ts"] is None
+    assert rows["http://b/3"]["parse_error"] is None

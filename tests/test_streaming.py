@@ -358,3 +358,42 @@ def _batch_mentions_df(spark, n):
     voted = vote_mentions(tag_sentences_df(explode_sentences(
         pages.drop("text"))))
     return mentions_table(voted)
+
+
+def test_stateful_update_survives_all_nat_and_null_ts_chunks():
+    """Unit test of stateful._update's NaT guards: a NON-empty chunk
+    whose warc_ts are all null must not poison first/last (NaT.value is
+    INT64_MIN -> OutOfBoundsDatetime / 1677-era floor), and a group that
+    has ONLY seen null-ts rows emits NaT bounds instead of crashing."""
+    import pandas as pd
+
+    from thesis_ner_co_tri_training_spark.streaming.stateful import _update
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._t = None
+
+        @property
+        def get(self):
+            return self._t
+
+        def update(self, t):
+            self._t = t
+            self.exists = True
+
+    state = FakeState()
+    all_nat = pd.DataFrame({"warc_ts": pd.to_datetime([None, None])})
+    out1 = list(_update(("d.example",), iter([all_nat]), state))
+    assert len(out1) == 1
+    assert out1[0]["n_mentions"].iloc[0] == 2
+    assert pd.isna(out1[0]["first_seen"].iloc[0])
+    assert state.get == (2, 1, None, None)
+
+    # a later batch with real timestamps sets the bounds from scratch
+    real = pd.DataFrame({"warc_ts": pd.to_datetime(
+        ["2024-01-01 00:00:00", None, "2024-01-02 00:00:00"])})
+    out2 = list(_update(("d.example",), iter([real]), state))
+    assert out2[0]["n_mentions"].iloc[0] == 5
+    assert str(out2[0]["first_seen"].iloc[0]) == "2024-01-01 00:00:00"
+    assert str(out2[0]["last_seen"].iloc[0]) == "2024-01-02 00:00:00"

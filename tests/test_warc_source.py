@@ -73,3 +73,35 @@ def test_read_warc_malformed_file_records_error(spark, tmp_path):
     assert len(good) == 3
     assert len(bad) == 1 and "bad.warc" in bad[0]["warc_file"]
     assert bad[0]["url"] is None
+
+
+def test_read_warc_desync_becomes_error_not_silent_drop(spark, tmp_path):
+    """A record with a too-short Content-Length desyncs the parser
+    mid-file; that must surface as a parse_error row — a silent `break`
+    would drop every remaining record with parse_error null (C5)."""
+    d = tmp_path / "warcs_desync"
+    d.mkdir()
+    good = _pages()[:4]
+    write_warc(good, str(d / "good.warc"))
+    # hand-build a file whose record 1 lies about its length: the parser
+    # lands inside record 1's block and finds no WARC/ header
+    body = b"HTTP/1.1 200 OK\r\n\r\n<html>x</html>"
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://d/1\r\n"
+           b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+           + f"Content-Length: {len(body) - 10}\r\n".encode()
+           + b"\r\n" + body + b"\r\n\r\n"
+           b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://d/2\r\n"
+           b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+           + f"Content-Length: {len(body)}\r\n".encode()
+           + b"\r\n" + body + b"\r\n\r\n")
+    (d / "desync.warc").write_bytes(rec)
+
+    df = read_warc(spark, str(d))
+    rows = df.collect()
+    good_rows = [r for r in rows if r["parse_error"] is None]
+    bad = [r for r in rows if r["parse_error"] is not None]
+    assert len(good_rows) == 4
+    assert len(bad) == 1 and "desync.warc" in bad[0]["warc_file"]
+    assert "desync" in bad[0]["parse_error"]

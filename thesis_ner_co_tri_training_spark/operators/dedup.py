@@ -767,6 +767,19 @@ def cut_repeated_spans(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def filter_index_buckets(index: DataFrame, max_bucket: int) -> DataFrame:
+    """Skew guard over a persisted band index: drop oversized (band,
+    bucket) groups (boilerplate buckets — non-discriminative, as in
+    minhash_lsh_pairs). Shared by the batch and streaming index-dedup
+    paths so the guard's semantics can't drift between them."""
+    sizes = index.groupBy("band", "bucket").count()
+    return (
+        index.join(sizes.filter(F.col("count") <= max_bucket),
+                   ["band", "bucket"])
+        .drop("count")
+    )
+
+
 def dedup_against_index(new_docs: DataFrame, index: DataFrame,
                         old_docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
@@ -792,12 +805,7 @@ def dedup_against_index(new_docs: DataFrame, index: DataFrame,
     n-gram Jaccard >= threshold, same verify as ngram_jaccard_pairs.
     Fully DuckDB-oracled with hasher="md5" (q67).
     """
-    sizes = index.groupBy("band", "bucket").count()
-    idx = (
-        index.join(sizes.filter(F.col("count") <= max_bucket),
-                   ["band", "bucket"])
-        .drop("count")
-    )
+    idx = filter_index_buckets(index, max_bucket)
     new_b = minhash_bands(new_docs, id_col, text_col, n, num_hashes,
                           bands, hasher)
     cand = (

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 from typing import Any
 
-from .functions.textnorm import split_sentences, strip_punct, tokenize
 from .operators.tagging import tag_all_views_flat, tag_sentence
 
 
@@ -63,12 +62,20 @@ def predict_voted(
 
 def engine_info() -> dict[str, Any]:
     """GET /info payload (api.py:57-60 serves model_config.json; the
-    engine's analog is its vote/view configuration)."""
+    engine's analog is its vote/view configuration). Thresholds are read
+    from predict_voted's OWN signature defaults so /info can never drift
+    from what the served votes actually use."""
+    import inspect
+
+    defaults = {
+        k: p.default
+        for k, p in inspect.signature(predict_voted).parameters.items()
+        if k.endswith("_threshold")
+    }
     return {
         "engine": "thesis_ner_co_tri_training_spark",
         "views": 3,
-        "vote": {"cos_threshold": 0.7, "tcfd_threshold": 0.7,
-                 "scfd_threshold": 0.6},
+        "vote": defaults,
         "response_shape": ["word", "tag", "confidence"],
     }
 
@@ -114,7 +121,11 @@ def make_http_server(port: int = 0):
                 payload = _json.loads(self.rfile.read(n) or b"{}")
                 text = payload["sentence"]
                 if self.path == "/predict_voted":
-                    self._send({"result": predict_voted(text)})
+                    # optional per-request threshold overrides — same
+                    # keyword names as predict_voted's signature
+                    kw = {k: float(v) for k, v in payload.items()
+                          if k.endswith("_threshold")}
+                    self._send({"result": predict_voted(text, **kw)})
                 else:
                     self._send({"result": predict(text)})
             except Exception:

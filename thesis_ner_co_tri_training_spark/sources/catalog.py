@@ -112,13 +112,6 @@ def _snapshot_ids(warehouse: str, table: str) -> list[int]:
     return sorted(ids)
 
 
-def _count_parquet_files(root: str) -> int:
-    n = 0
-    for _, _, files in os.walk(root):
-        n += sum(1 for f in files if f.endswith(".parquet"))
-    return n
-
-
 def partition_metrics(df: DataFrame) -> list[dict[str, Any]]:
     """Per-partition row counts via one distributed aggregate."""
     rows = (
@@ -223,7 +216,8 @@ def write_table(
     # read-back also recorded), so empty stages keep a readable schema.
     parts = partition_metrics_from_files(out_dir)
     added_rows = sum(p["rows"] for p in parts)
-    added_files = _count_parquet_files(out_dir)
+    # one entry per parquet file by construction — no second os.walk
+    added_files = len(parts)
     if mode == "append" and prev is not None:
         data_paths = list(prev.get("data_paths", [])) + [rel_dir]
         row_count = prev["row_count"] + added_rows
@@ -395,7 +389,8 @@ def compact_table(spark: SparkSession, warehouse: str, table: str,
 
 
 def expire_snapshots(warehouse: str, table: str,
-                     keep_last: int = 1) -> dict[str, Any]:
+                     keep_last: int = 1,
+                     orphan_grace_s: float = 3600.0) -> dict[str, Any]:
     """Drop all but the newest `keep_last` snapshots and delete snap
     dirs no retained snapshot references (Iceberg expire_snapshots +
     orphan-file GC). Time travel to an expired snapshot then raises.
@@ -444,19 +439,36 @@ def expire_snapshots(warehouse: str, table: str,
         os.replace(tmp, _ledger_path(warehouse, table))
     removed_dirs = []
     data_dir = _data_dir(warehouse, table)
+    manifested = {f"snap-{sid}" for sid in ids}
     if os.path.isdir(data_dir):
         for d in os.listdir(data_dir):
-            if (d.startswith("snap-") and d not in referenced
-                    and os.path.isdir(os.path.join(data_dir, d))):
-                shutil.rmtree(os.path.join(data_dir, d))
-                # the writer's claim marker goes with its dir (the id
-                # stays burned: snap ids are allocated past the max
-                # existing manifest, so no reuse either way)
+            full = os.path.join(data_dir, d)
+            if not (d.startswith("snap-") and d not in referenced
+                    and os.path.isdir(full)):
+                continue
+            if d not in manifested:
+                # UNMANIFESTED dir: either a crashed write's orphan or a
+                # concurrent writer's claimed, in-flight dir (the exact
+                # pair write_table's claim design names: streaming sink +
+                # maintenance job). Age is the only distinguisher — GC
+                # only dirs untouched for `orphan_grace_s` (Iceberg's
+                # remove_orphan_files older_than convention); a live
+                # write keeps its dir mtime fresh as tasks commit files.
                 try:
-                    os.remove(os.path.join(data_dir, d + ".claim"))
-                except FileNotFoundError:
-                    pass
-                removed_dirs.append(d)
+                    age = time.time() - os.path.getmtime(full)
+                except OSError:
+                    continue
+                if age < orphan_grace_s:
+                    continue
+            shutil.rmtree(full)
+            # the writer's claim marker goes with its dir (the id
+            # stays burned: snap ids are allocated past the max
+            # existing manifest, so no reuse either way)
+            try:
+                os.remove(full + ".claim")
+            except FileNotFoundError:
+                pass
+            removed_dirs.append(d)
     for sid in drop:
         os.remove(_snap_meta_path(warehouse, table, sid))
     return {"table": table, "expired_snapshots": drop,

@@ -56,14 +56,25 @@ def read_jsonl_pages(
     )
     bad_line = F.col(_CORRUPT).isNotNull()
     no_text = F.col(text_field).isNull()
+    # try_cast, NOT to_timestamp_ntz: under Spark 4's ANSI default an
+    # unparseable timestamp string makes to_timestamp_ntz THROW, killing
+    # the whole ingest job on one bad line. try_cast yields null...
+    ts = F.regexp_replace(F.col(ts_field), r"Z$", "").try_cast(
+        "timestamp_ntz")
+    # ...and that null is then a countable error, not a silent one: a
+    # null warc_ts would later be dropped without trace by any
+    # watermark/window operator downstream (C5 rule). A ts field that is
+    # absent/null in the source object stays a plain null warc_ts —
+    # only present-but-unparseable values are flagged.
+    bad_ts = F.col(ts_field).isNotNull() & ts.isNull()
     return raw.select(
         F.col(url_field).alias("url"),
-        F.to_timestamp_ntz(
-            F.regexp_replace(F.col(ts_field), r"Z$", "")
-        ).alias("warc_ts"),
+        ts.alias("warc_ts"),
         F.col(text_field).alias("text"),
         F.when(bad_line, F.concat(F.lit("unparseable: "),
                                   F.substring(F.col(_CORRUPT), 1, 120)))
         .when(no_text, F.lit(f"missing field: {text_field}"))
+        .when(bad_ts, F.concat(F.lit(f"bad timestamp ({ts_field}): "),
+                               F.substring(F.col(ts_field), 1, 64)))
         .alias("parse_error"),
     )

@@ -45,8 +45,17 @@ def parse_warc_bytes(data: bytes) -> Iterator[tuple[str, datetime, bytes]]:
         # skip inter-record blank lines
         while pos < n and data[pos:pos + 2] == b"\r\n":
             pos += 2
-        if pos >= n or not data[pos:].startswith(b"WARC/"):
+        if pos >= n:
             break
+        if not data[pos:].startswith(b"WARC/"):
+            # Desync: a bad/short Content-Length landed us mid-block. A
+            # silent `break` here would drop every remaining record with
+            # parse_error null (violating the C5 no-silent-drops rule) —
+            # raise so read_warc's per-file handler records the failure.
+            raise ValueError(
+                f"WARC desync at byte {pos}: expected record header, "
+                f"got {data[pos:pos + 16]!r}"
+            )
         head_end = data.index(b"\r\n\r\n", pos)
         headers: dict[str, str] = {}
         for line in data[pos:head_end].split(b"\r\n")[1:]:

@@ -310,14 +310,16 @@ def dedup_against_index_stream(
     Output: (a = new id, b = old id, jaccard round-4, ts_col) — same
     row contract as dedup_against_index, batch-parity pinned by test.
     """
-    from ..operators.dedup import minhash_bands_narrow
+    from ..operators.dedup import filter_index_buckets, minhash_bands_narrow
 
-    sizes = index.groupBy("band", "bucket").count()
+    # The static side of a stream-static join is re-evaluated on EVERY
+    # micro-batch, so the skew-guard groupBy over the whole persisted
+    # index would otherwise rerun per trigger — cache the filtered index
+    # once (shared helper with the batch path so the guard can't drift).
     idx = (
-        index.join(sizes.filter(F.col("count") <= max_bucket),
-                   ["band", "bucket"])
-        .drop("count")
+        filter_index_buckets(index, max_bucket)
         .select(F.col(id_col).alias("b"), "band", "bucket")
+        .cache()
     )
     new_b = minhash_bands_narrow(
         docs, id_col, text_col, n, num_hashes, bands, hasher,

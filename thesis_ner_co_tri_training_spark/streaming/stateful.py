@@ -46,11 +46,17 @@ def _update(
             continue
         seen_rows = True
         n_mentions += len(pdf)
-        ts = pd.to_datetime(pdf["warc_ts"])
-        lo = int(ts.min().value // 1_000_000)
-        hi = int(ts.max().value // 1_000_000)
-        first_ms = lo if first_ms is None else min(first_ms, lo)
-        last_ms = hi if last_ms is None else max(last_ms, hi)
+        # dropna BEFORE min/max: a non-empty chunk whose warc_ts values
+        # are ALL null (e.g. jsonl pages whose ts failed to parse) would
+        # otherwise hit the same NaT poison the empty-chunk guard above
+        # documents (NaT.value == INT64_MIN). Null-ts rows still count
+        # as mentions; they just don't move the time bounds.
+        ts = pd.to_datetime(pdf["warc_ts"]).dropna()
+        if len(ts):
+            lo = int(ts.min().value // 1_000_000)
+            hi = int(ts.max().value // 1_000_000)
+            first_ms = lo if first_ms is None else min(first_ms, lo)
+            last_ms = hi if last_ms is None else max(last_ms, hi)
     if not seen_rows:
         # Zero-row invocation: nothing to emit or count, REGARDLESS of
         # whether state exists. Unreachable under NoTimeout for existing
@@ -64,8 +70,12 @@ def _update(
         "domain": [key[0]],
         "n_mentions": [n_mentions],
         "n_batches": [n_batches],
-        "first_seen": [pd.Timestamp(first_ms, unit="ms")],
-        "last_seen": [pd.Timestamp(last_ms, unit="ms")],
+        # first_ms stays None when every row so far had a null warc_ts —
+        # emit NaT (-> SQL null) rather than crashing on Timestamp(None).
+        "first_seen": [pd.Timestamp(first_ms, unit="ms")
+                       if first_ms is not None else pd.NaT],
+        "last_seen": [pd.Timestamp(last_ms, unit="ms")
+                      if last_ms is not None else pd.NaT],
     })
 
 
