@@ -106,17 +106,21 @@ def _domain(col):
 
 
 def _pages_batches(warehouse):
-    """Cycle-tagged pages batches, oldest first — live snapshots PLUS
-    the expiry ledger, so table maintenance (compact + expire-keep on
-    the pages table) never resets the frontier high-water mark or the
-    already-appended set back to zero (ledger entries keep the full
-    params, including frontier_end)."""
+    """ALL tagged pages batches, oldest first — BOTH families ('cycle-*'
+    from this job and 'pages-*' from run_pipeline --append-pages; the
+    two jobs may interleave on one warehouse, and a family-blind scan
+    here made the frontier reset to 0 and re-append already-ingested
+    pages). Live snapshots PLUS the expiry ledger, so table maintenance
+    (compact + expire-keep on the pages table) never resets the
+    frontier high-water mark or the already-appended set back to zero
+    (ledger entries keep the full params, including frontier_end)."""
     from thesis_ner_co_tri_training_spark.sources import catalog
 
     by_id: dict[int, dict] = {}
     for s in (catalog.batch_ledger(warehouse, "pages")
               + catalog.snapshots(warehouse, "pages")):
-        if str(s.get("params", {}).get("batch_tag", "")).startswith("cycle-"):
+        tag = str(s.get("params", {}).get("batch_tag", ""))
+        if tag.startswith("cycle-") or tag.startswith("pages-"):
             by_id[s["snapshot_id"]] = s
     return [by_id[i] for i in sorted(by_id)]
 
@@ -206,9 +210,13 @@ def run_cycle(spark, warehouse: str, budget: int,
     t0 = time.time()
     recovered = recover(spark, warehouse)
 
-    batches = _pages_batches(warehouse)
-    frontier_start = (batches[-1]["params"]["frontier_end"]
-                      if batches else 0)
+    from thesis_ner_co_tri_training_spark.plans.pipeline import (
+        pages_frontier)
+
+    # shared generation frontier across BOTH batch families (cycle-*
+    # frontier_end and pages-* tag ends): never regenerate ids that a
+    # previous cycle OR a run_pipeline --append-pages batch already drew
+    frontier_start = pages_frontier(warehouse)
     tag = f"cycle-{frontier_start}"
 
     # 1. SCHEDULE

@@ -62,6 +62,9 @@ def main() -> int:
             run_pipeline_incremental)
         from thesis_ner_co_tri_training_spark.sources import catalog
 
+        from thesis_ner_co_tri_training_spark.plans.pipeline import (
+            pages_frontier)
+
         recovered = None
         prev = catalog.latest_snapshot(args.warehouse, "pages")
         if prev is not None:
@@ -97,7 +100,12 @@ def main() -> int:
                     run_pipeline_incremental(spark, None, args.warehouse,
                                              batch_tag=recovered)
                 prev = catalog.latest_snapshot(args.warehouse, "pages")
-        start = prev["row_count"] if prev else 0
+        # start from the shared generation frontier, not row_count alone:
+        # crawl-cycle batches (run_crawl_cycle) advance the frontier past
+        # row_count when their dedup gate drops candidates, and starting
+        # below the frontier would regenerate ids a cycle already drew.
+        start = max(prev["row_count"] if prev else 0,
+                    pages_frontier(args.warehouse))
         n = args.append_pages
         batch = gen_pages_df(spark, n, start=start)
         t0 = time.time()

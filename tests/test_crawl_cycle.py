@@ -146,3 +146,39 @@ def test_cycles_survive_table_maintenance(spark, wh):
     # and a rerun of the completed set still proceeds, one further on
     c2 = run_cycle(spark, wh, BUDGET)
     assert c2["frontier"][0] == c["frontier"][1] == hwm + 2 * BUDGET
+
+
+def test_mixed_warehouse_frontier_never_resets(spark, tmp_path):
+    """A warehouse with run_pipeline --append-pages history ('pages-*'
+    tags) must NOT restart the crawl-cycle frontier at 0 (that would
+    regenerate and double-append already-ingested pages); and after a
+    cycle, a subsequent append-pages batch must start past the cycle's
+    frontier_end, not at row_count."""
+    from thesis_ner_co_tri_training_spark.plans.pipeline import (
+        pages_frontier, run_pipeline_incremental)
+
+    w = str(tmp_path / "mixed_wh")
+    # simulate run_pipeline --append-pages 40: tag pages-0-40
+    run_pipeline_incremental(spark, gen_pages_df(spark, 40, start=0), w,
+                             batch_tag="pages-0-40")
+    assert pages_frontier(w) == 40
+
+    c = run_cycle(spark, w, BUDGET)
+    # frontier picks up after the pages- batch — nothing regenerated
+    assert c["frontier"][0] == 40
+    assert c["cycle_tag"] == "cycle-40"
+    pages = catalog.read_table(spark, w, "pages")
+    assert pages.count() == pages.select("url").distinct().count()
+    # the pages- history got indexed by the cycle's repair loop, so the
+    # gate now covers it
+    assert "pages-0-40" in catalog.batch_tags(w, "dedup_index")
+
+    # and the reverse direction: the generation frontier for the next
+    # append-pages batch clears the cycle's frontier_end even though
+    # row_count is smaller (dedup-gated candidates consumed ids)
+    assert pages_frontier(w) == c["frontier"][1]
+    run_pipeline_incremental(
+        spark, gen_pages_df(spark, 10, start=pages_frontier(w)), w,
+        batch_tag=f"pages-{pages_frontier(w)}-{pages_frontier(w) + 10}")
+    pages = catalog.read_table(spark, w, "pages")
+    assert pages.count() == pages.select("url").distinct().count()

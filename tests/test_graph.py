@@ -388,3 +388,73 @@ def test_hits_fixedpoint_replay_and_semantics(spark):
     assert max(hubs, key=hubs.get) == "h1"          # links to all three
     assert hubs["x"] == 0 and auths["h1"] == 0      # pure sink / source
     assert auths["x"] == auths["y"] > auths["z"]    # two hubs vs one
+
+
+def test_shortest_paths_rejects_null_weights(spark):
+    """NULL weights pass a `w < 0` filter (3-valued logic) and would
+    surface as (node, NULL) rows against the absent-if-unreachable
+    contract — they must be rejected like negatives."""
+    import pytest
+
+    from thesis_ner_co_tri_training_spark.plans.graph import shortest_paths
+
+    with pytest.raises(ValueError, match="NULL"):
+        shortest_paths(
+            spark.createDataFrame([("a", "b", None), ("b", "c", 1)],
+                                  "u string, v string, w long"),
+            spark.createDataFrame([("a",)], "node string"),
+            iterations=2, src="u", dst="v", weight="w")
+
+
+def test_hits_fixedpoint_rejects_zero_iterations(spark):
+    import pytest
+
+    from thesis_ner_co_tri_training_spark.plans.graph import hits_fixedpoint
+
+    with pytest.raises(ValueError, match="iterations"):
+        hits_fixedpoint(
+            spark.createDataFrame([("a", "b")], "s string, o string"),
+            iterations=0, src="s", dst="o")
+
+
+def test_hits_fixedpoint_survives_high_degree_hub(spark):
+    """The DECIMAL(38,0) normalization must survive first-iteration
+    magnitudes where BIGINT x*scale would overflow. A synthetic check
+    at the arithmetic level: scores near 2^63 / scale boundaries keep
+    exact integer semantics (full graph-scale in_deg > 9e6 is too big
+    for a unit test; the expression path is identical)."""
+    from pyspark.sql import functions as F
+
+    # x * 10**6 with x near BIGINT max: decimal path exact, matches python
+    big = 9223372036854775807 // 2
+    r = spark.range(1).select(
+        F.expr(f"CAST(CAST({big} AS DECIMAL(38,0)) * 1000000 "
+               f"DIV {big + 7} AS BIGINT)").alias("v")).collect()[0]["v"]
+    assert r == (big * 1000000) // (big + 7)
+
+
+def test_pagerank_float_collapses_duplicate_edges(spark):
+    """Float pagerank and pagerank_fixedpoint share the simple-digraph
+    contract: duplicate (src, dst) rows (one per supporting evidence in
+    a KG edges table) must not multigraph-weight the float form while
+    the fixedpoint twin collapses them."""
+    from thesis_ner_co_tri_training_spark.plans.graph import (
+        pagerank, pagerank_fixedpoint)
+
+    dup = spark.createDataFrame(
+        [("a", "b")] * 5 + [("a", "c"), ("c", "b")],
+        "s string, o string")
+    simple = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("c", "b")], "s string, o string")
+    r_dup = {r.node: r.rank for r in
+             pagerank(dup, iterations=5, src="s", dst="o").collect()}
+    r_simple = {r.node: r.rank for r in
+                pagerank(simple, iterations=5, src="s", dst="o").collect()}
+    assert r_dup.keys() == r_simple.keys()
+    for k in r_dup:
+        assert abs(r_dup[k] - r_simple[k]) < 1e-12
+    fx = {r.node: r.rank / 10**12 for r in
+          pagerank_fixedpoint(dup, iterations=5, src="s",
+                              dst="o").collect()}
+    for k in fx:
+        assert abs(fx[k] - r_dup[k]) < 1e-6

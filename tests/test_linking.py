@@ -117,3 +117,18 @@ def test_surface_to_entity_covers_all_mentions(spark, mentions):
     linked = surface_to_entity(mentions, ents)
     assert linked.filter(F.col("entity_id").isNull()).count() == 0
     assert linked.count() == mentions.count()
+
+
+def test_lsh_candidate_pairs_rejects_short_signature(spark):
+    """bands*rows_per_band beyond the signature length fails fast at
+    the driver instead of an opaque mid-stage INVALID_ARRAY_INDEX."""
+    import pytest
+
+    from thesis_ner_co_tri_training_spark.operators.linking import (
+        lsh_candidate_pairs, minhash_signature, surface_shingles)
+
+    surfaces = spark.createDataFrame(
+        [("Alpha",), ("Beta",)], "surface string")
+    sig = minhash_signature(surface_shingles(surfaces), num_hashes=16)
+    with pytest.raises(ValueError, match="signature length"):
+        lsh_candidate_pairs(sig, bands=8, rows_per_band=4)

@@ -321,3 +321,19 @@ def test_apportion_budget_rejects_degenerate_weights(spark):
                                 "key string, weight int")
     with pytest.raises(ValueError, match="non-negative"):
         apportion_budget(neg, 10)
+
+
+def test_fill_token_budget_rejects_null_token_counts(spark):
+    """NULL n_tokens would ride through the window cumsum as NULL kept
+    flags (and TypeError the driver-side offset fold on an all-NULL
+    partition) — rejected up front with a countable error."""
+    import pytest
+
+    from thesis_ner_co_tri_training_spark.operators.selection import (
+        fill_token_budget)
+
+    df = spark.createDataFrame(
+        [("d1", 10), ("d2", None), ("d3", 5)],
+        "doc_id string, n_tokens int")
+    with pytest.raises(ValueError, match="NULL n_tokens"):
+        fill_token_budget(df, budget=12).collect()

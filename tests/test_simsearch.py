@@ -118,3 +118,24 @@ def test_ivf_topk_full_probe_equals_brute_force(spark, data):
         want = round(_cos(cvec[r["vec_id"]], qvec[r["query_id"]]), 4)
         assert abs(r["cosine"] - want) < 1e-9
     assert any(r["query_id"] == 0 and r["vec_id"] == 3 for r in part)
+
+
+def test_hyperplane_signature_zero_pads_ragged_vectors(spark):
+    """One short embedding must neither abort the stage (ANSI
+    element_at) nor silently bucket as all-zero-bits: it buckets
+    exactly as its zero-padded twin."""
+    from thesis_ner_co_tri_training_spark.operators.simsearch import (
+        hyperplane_signature)
+
+    dim, bits = 6, 4
+    ragged = spark.createDataFrame(
+        [(1, [0.5, -0.25, 0.75]), (2, [0.1] * 6)],
+        "vec_id int, embedding array<double>")
+    padded = spark.createDataFrame(
+        [(1, [0.5, -0.25, 0.75, 0.0, 0.0, 0.0]), (2, [0.1] * 6)],
+        "vec_id int, embedding array<double>")
+    got = {r.vec_id: r.bucket for r in
+           hyperplane_signature(ragged, dim, bits=bits).collect()}
+    want = {r.vec_id: r.bucket for r in
+            hyperplane_signature(padded, dim, bits=bits).collect()}
+    assert got == want

@@ -93,3 +93,26 @@ def test_extend_labeled_anti_join(spark):
         [(2, "b"), (3, "c")], "sent_id long, text string")
     got = sorted(map(tuple, extend_labeled(labeled, ext, ["sent_id"]).collect()))
     assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_tritrain_resume_rejects_mismatched_params(spark, tmp_path):
+    """Resume must not silently mix threshold schedules: a warehouse
+    written under one (tcfd, scfd, u, seed) refuses to resume under
+    different loop arguments."""
+    import pytest
+
+    wh = str(tmp_path / "tri_wh_mismatch")
+    pages = gen_pages_df(spark, 10, partitions=2)
+    views = tag_pages_df(pages.drop("text"))
+    tritrain_fit(spark, views, wh, u=50, tcfd=0.7, scfd=0.3,
+                 r_t=0.1, r_s=0.1)
+    with pytest.raises(ValueError, match="params"):
+        tritrain_fit(spark, views, wh, u=50, tcfd=0.9, scfd=0.3,
+                     r_t=0.1, r_s=0.1)
+    with pytest.raises(ValueError, match="params"):
+        tritrain_fit(spark, views, wh, u=25, tcfd=0.7, scfd=0.3,
+                     r_t=0.1, r_s=0.1)
+    # resume=False recomputes without complaint
+    ext, lineage = tritrain_fit(spark, views, wh, u=25, tcfd=0.7,
+                                scfd=0.3, r_t=0.1, r_s=0.1, resume=False)
+    assert lineage and not any(ln.get("resumed") for ln in lineage)

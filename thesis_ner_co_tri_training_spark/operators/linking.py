@@ -30,7 +30,6 @@ from pyspark.sql import functions as F
 
 def surface_shingles(df: DataFrame, col: str = "surface", n: int = 3) -> DataFrame:
     """Distinct surfaces -> char n-gram shingle arrays (lowercased, padded)."""
-    padded = F.concat(F.lit("^"), F.lower(F.col(col)), F.lit("$"))
     grams = F.expr(
         f"array_distinct(transform(sequence(1, greatest(length(concat('^', lower({col}), '$')) - {n - 1}, 1)), "
         f"i -> substring(concat('^', lower({col}), '$'), i, {n})))"
@@ -68,6 +67,17 @@ def lsh_candidate_pairs(df: DataFrame, bands: int = 4, rows_per_band: int = 4,
     # per reference. The signature table is compact (num_hashes longs per
     # distinct surface).
     df = df.localCheckpoint(eager=True)
+    # Fail fast at the driver: banding reads sig[b*rows_per_band + r + 1]
+    # up to bands*rows_per_band — past the signature length that's an
+    # opaque INVALID_ARRAY_INDEX mid-stage under ANSI (silent NULL bands
+    # with ANSI off), e.g. num_hashes=16 with bands=8, rows_per_band=4.
+    # One-row probe over the just-checkpointed table: metadata-cheap.
+    probe = df.select(F.size("sig").alias("n")).limit(1).collect()
+    if probe and probe[0]["n"] < bands * rows_per_band:
+        raise ValueError(
+            f"lsh_candidate_pairs: bands*rows_per_band = "
+            f"{bands * rows_per_band} exceeds signature length "
+            f"{probe[0]['n']} (num_hashes at signature build)")
     banded = df.select(
         key,
         F.posexplode(

@@ -444,9 +444,19 @@ def fill_token_budget(df: DataFrame, budget: int,
     )
     totals = (
         ranged.groupBy("__pid")
-        .agg(F.sum(F.col(tokens_col).cast("long")).alias("t"))
+        .agg(F.sum(F.col(tokens_col).cast("long")).alias("t"),
+             F.count_if(F.col(tokens_col).isNull()).alias("nulls"))
         .collect()
     )
+    # NULL token counts would silently ride through the window cumsum
+    # as NULL cum_tokens/kept (and an all-NULL partition makes t=None,
+    # a driver TypeError below) — reject them up front; the check rides
+    # the offsets aggregate, zero extra jobs.
+    n_null = sum(r["nulls"] for r in totals)
+    if n_null:
+        raise ValueError(
+            f"fill_token_budget: {n_null} row(s) have NULL {tokens_col}; "
+            f"fill or filter them before assembly")
     offsets, acc = [], 0
     for r in sorted(totals, key=lambda r: r["__pid"]):
         offsets.append((r["__pid"], acc))

@@ -79,13 +79,23 @@ def hyperplane_signature(df: DataFrame, dim: int, bits: int = 8,
     products) — the multi-probe extension flips the lowest-|margin| bits,
     because a near-zero dot means the vector sits close to that plane and
     its true neighbors plausibly landed on the other side.
+
+    Embeddings shorter than `dim` are ZERO-PADDED (try_element_at +
+    coalesce): a plain element_at past the end would abort the whole
+    stage under Spark 4's ANSI default on ONE ragged row, and a silent
+    NULL dot would systematically mis-bucket the vector (NULL >= 0 is
+    not true -> bit 0 every plane). Zero-padding is the deterministic,
+    engine-portable contract; identical to element_at on well-formed
+    input.
     """
     v = _as_double(vec_col)
     bit_vals, dots = [], []
     for p in range(bits):
         dot = None
         for d in range(dim):
-            term = F.element_at(v, d + 1) * _plane_component(p, d, seed)
+            term = (F.coalesce(F.try_element_at(v, F.lit(d + 1)),
+                               F.lit(0.0))
+                    * _plane_component(p, d, seed))
             dot = term if dot is None else dot + term
         dots.append(dot)
         bit_vals.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))

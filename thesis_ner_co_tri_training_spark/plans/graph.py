@@ -55,10 +55,18 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85,
     every node starts at 1/N; each iteration a node's rank is
     (1 - d)/N + d * (sum of in-neighbor contributions + dangling_mass/N).
     Output: node, rank (sums to 1 up to float error).
+
+    Duplicate (src, dst) edges are collapsed: the contract is over the
+    simple directed graph, SAME as pagerank_fixedpoint — that shared
+    contract is what lets the fixedpoint twin vouch for this float form
+    on identical input. A KG edges table with one row per supporting
+    (url, sent_id) evidence should pre-weight explicitly if evidence
+    multiplicity is meant to matter; silent multigraph weighting is not
+    this operator's job.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
-    )
+    ).distinct()
     nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))
     ).distinct().localCheckpoint(eager=True)
@@ -343,8 +351,13 @@ def shortest_paths(edges: DataFrame, sources: DataFrame,
         .groupBy("u", "v").agg(F.min("w").alias("w"))
         .localCheckpoint(eager=True)
     )
-    if e.filter(F.col("w") < 0).limit(1).count() > 0:
-        raise ValueError("shortest_paths: negative edge weights")
+    # NULL weights must be rejected too, not just negatives: NULL passes
+    # a `w < 0` filter (three-valued logic), then dist + NULL = NULL rows
+    # would surface in the output and poison every path through them —
+    # against the "unreachable nodes are absent" contract. (Weights are
+    # a BIGINT contract; fractional inputs are truncated by the cast.)
+    if e.filter(F.col("w").isNull() | (F.col("w") < 0)).limit(1).count() > 0:
+        raise ValueError("shortest_paths: negative or NULL edge weights")
     dist = (
         sources.select(F.col(sources.columns[0]).alias("node"))
         .distinct()
@@ -527,19 +540,36 @@ def hits_fixedpoint(edges: DataFrame, iterations: int = 8,
 
     def _norm(raw: DataFrame, col: str) -> DataFrame:
         """nodes left-joined with raw scores, L1-normalized to `scale`
-        by integer division (broadcast 1-row total; total > 0 whenever
-        the graph has at least one edge)."""
-        total = raw.agg(F.sum(col).alias("__tot"))
+        by integer division (broadcast 1-row total).
+
+        The multiply-divide runs in DECIMAL(38,0): x*scale in BIGINT
+        overflows on the first iteration for hubs with in-degree >
+        ~9.2e18/scale^2 (~9e6 at the default scale — a power-law hub is
+        exactly this operator's target), where decimal is exact to 1e38
+        and DIV truncation matches BIGINT DIV on the non-negative
+        scores, so results are bit-identical where both are defined
+        (q69 stays pinned). The result is <= scale by construction
+        (x <= total), so the final BIGINT cast never overflows. `scale`
+        should comfortably exceed the active node count or mid-loop
+        scores floor to 0 (total 0 -> a loud ANSI DIVIDE_BY_ZERO, by
+        design): at KG scale pass scale ~ 1e6 * nodes, cheap in decimal.
+        """
+        total = raw.agg(
+            F.sum(F.col(col).cast("decimal(38,0)")).alias("__tot"))
         return (
             nodes.join(raw, "node", "left")
             .crossJoin(F.broadcast(total))
             .select(
                 "node",
-                F.expr(f"CAST((coalesce({col}, 0) * {scale}) DIV __tot "
-                       f"AS BIGINT)").alias(col),
+                F.expr(f"CAST(CAST(coalesce({col}, 0) AS DECIMAL(38,0))"
+                       f" * {scale} DIV __tot AS BIGINT)").alias(col),
             )
         )
 
+    if iterations < 1:
+        raise ValueError("hits_fixedpoint: iterations must be >= 1 "
+                         "(authority is undefined before the first "
+                         "half-step)")
     h = nodes.select("node", F.lit(scale).cast("long").alias("hub"))
     a = None
     for i in range(1, iterations + 1):

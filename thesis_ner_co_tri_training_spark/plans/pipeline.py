@@ -191,6 +191,33 @@ def build_edges_df(triples: DataFrame, entities: DataFrame) -> DataFrame:
     )
 
 
+def pages_frontier(warehouse: str) -> int:
+    """Synthetic-corpus generation frontier of an incremental warehouse:
+    the first page id NOT yet drawn, across BOTH batch families that
+    append pages — run_pipeline --append-pages ('pages-<start>-<end>'
+    tags, end = row_count high-water mark) and run_crawl_cycle
+    ('cycle-*' tags whose params carry frontier_end, which can run
+    AHEAD of row_count because dedup-gated candidates consume frontier
+    ids without landing in the table). Scans live snapshots plus the
+    expired-snapshot ledger (maintenance must not reset the frontier).
+    Both jobs derive their next batch start from this single number; a
+    family-blind scan (the old per-job logic) regenerated ids the other
+    job had already drawn and silently double-appended those pages."""
+    end = 0
+    for s in (catalog.batch_ledger(warehouse, "pages")
+              + catalog.snapshots(warehouse, "pages")):
+        p = s.get("params", {})
+        if "frontier_end" in p:
+            end = max(end, int(p["frontier_end"]))
+        tag = str(p.get("batch_tag", ""))
+        if tag.startswith("pages-"):
+            try:
+                end = max(end, int(tag.rsplit("-", 1)[1]))
+            except ValueError:
+                pass
+    return end
+
+
 def run_pipeline_incremental(
     spark: SparkSession,
     new_pages: DataFrame | None,

@@ -67,6 +67,18 @@ def tritrain_fit(
                   "u": u, "seed": seed}
         if resume and catalog.table_complete(warehouse, stage):
             snap = catalog.latest_snapshot(warehouse, stage)
+            # A completed table only resumes if it was produced under
+            # THESE loop arguments: silently reusing iterations selected
+            # under a different threshold schedule / pool size / seed
+            # would hand back a mixed-schedule extension set labeled as
+            # the current run's. Same-keys comparison (both dicts are
+            # built by this function, so key drift = code change).
+            stored = {k: snap.get("params", {}).get(k) for k in params}
+            if stored != params:
+                raise ValueError(
+                    f"tritrain_fit: warehouse {warehouse!r} stage {stage} "
+                    f"was written with params {stored}, current run wants "
+                    f"{params} — use a fresh warehouse or resume=False")
             snap["resumed"] = True
         else:
             pool = pooled.filter(F.col("pool_id") == it).drop("pool_id", "pos")
