@@ -794,6 +794,9 @@ PII_ROWS = [
     (6, "phone-ish 2020-01-02 03:04:05 timestamps stay intact"),
     (7, "contact admin@example.com at 192.168.0.1 or 0800 123 45 67"),
     (8, "trailing dot mail x@y.io."),
+    # dotted quad long enough to match the phone shape: must be <IP>,
+    # never <PHONE>, and must count as an ip, not a phone
+    (9, "server at 192.168.100.200 responded"),
 ]
 
 
@@ -1340,7 +1343,7 @@ _Q59_SQL = f"""
         FROM nz x JOIN nz y ON x.doc_id < y.doc_id
     )
     SELECT a, b, inter, uni, inter / uni AS jaccard
-    FROM pairs WHERE inter / uni >= {0.95!r}::DOUBLE
+    FROM pairs WHERE inter * 100 >= uni * 95  -- J >= 0.95 exactly (as the engine)
     ORDER BY a, b
 """
 
@@ -1805,7 +1808,7 @@ def _q67_sql(num_hashes: int = 16, bands: int = 4, max_bucket: int = 64,
     return f"""
         WITH toks AS (
             SELECT doc_id,
-                   string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+                   string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
             FROM documents
         ),
         sh AS (
@@ -2043,7 +2046,7 @@ def q70_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q70_SQL = """
 WITH toks AS (
     SELECT doc_id,
-           string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+           string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
                AS t
     FROM documents
 ), sh AS (
@@ -2217,7 +2220,7 @@ def _minhash_ctes(num_hashes: int, bands: int, max_bucket: int) -> str:
     )
     return f"""toks AS (
             SELECT doc_id,
-                   string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+                   string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
             FROM documents
         ),
         sh AS (
@@ -2394,7 +2397,7 @@ def _q50_sql(n: int = 5, bench_mod: int = 97) -> str:
     return f"""
         WITH nt AS MATERIALIZED (
             SELECT doc_id,
-                   string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+                   string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
             FROM documents
         ),
         g AS MATERIALIZED (
@@ -2471,7 +2474,7 @@ def _q37_sql(bits: int = 60) -> str:
     return f"""
         WITH toks AS (
             SELECT doc_id, unnest(
-                string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+                string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
             ) AS t
             FROM documents
         ),
@@ -2497,11 +2500,13 @@ def _q34_sql() -> str:
         WITH src(row_id, text) AS (VALUES {vals})
         SELECT row_id,
                CAST(len(regexp_extract_all(text, '{e}')) AS INTEGER) AS n_emails,
-               CAST(len(regexp_extract_all(text, '{p}')) AS INTEGER) AS n_phones,
+               CAST(len(regexp_extract_all(
+                   regexp_replace(text, '{ip}', '<IP>', 'g'), '{p}'))
+                   AS INTEGER) AS n_phones,
                CAST(len(regexp_extract_all(text, '{ip}')) AS INTEGER) AS n_ips,
                regexp_replace(regexp_replace(regexp_replace(
-                   text, '{e}', '<EMAIL>', 'g'), '{p}', '<PHONE>', 'g'),
-                   '{ip}', '<IP>', 'g') AS text_redacted
+                   text, '{e}', '<EMAIL>', 'g'), '{ip}', '<IP>', 'g'),
+                   '{p}', '<PHONE>', 'g') AS text_redacted
         FROM src
     """
 
@@ -2717,13 +2722,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q11_fingerprints": r"""
             SELECT doc_id,
-                   md5(substring(lower(regexp_replace(text, '\s+', ' ', 'g')), 1, 64)) AS fp_head,
-                   md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp_full
+                   md5(substring(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 64)) AS fp_head,
+                   md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_full
             FROM documents
         """,
         "q12_ngram_jaccard": r"""
             WITH toks AS (
-                SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+                SELECT doc_id, string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
                 FROM documents
             ),
             grams AS (
@@ -2850,7 +2855,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 3
         """,
         "q25_exact_dedup": r"""
-            SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
+            SELECT md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
                    count(*) AS n_docs
             FROM documents
             GROUP BY 1 HAVING count(*) > 1
@@ -2872,7 +2877,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             normed AS (
                 SELECT doc_id, p_pos, para,
-                       lower(regexp_replace(para, '\s+', ' ', 'g')) AS p_norm
+                       trim(lower(regexp_replace(para, '\s+', ' ', 'g'))) AS p_norm
                 FROM paras
             ),
             counts AS (
@@ -3123,7 +3128,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             toks AS (
                 SELECT doc_id,
-                       string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+                       string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
                 FROM documents
             ),
             grams AS (

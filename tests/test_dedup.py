@@ -22,7 +22,7 @@ NEAR = BASE.replace("grünen", "kleinen")   # 1 of 24 words changed
 DOCS = [
     (1, BASE),
     (2, BASE.upper()),          # exact dup modulo case
-    (3, "  " + BASE + "  "),    # exact dup modulo whitespace... (trim? no: norm collapses runs)
+    (3, "  " + BASE + "  "),    # exact dup modulo whitespace (norm TRIMS + collapses runs)
     (4, NEAR),                  # near dup of 1
     (5, "völlig anderer inhalt ohne jede überschneidung mit dem rest"),
 ]
@@ -30,7 +30,7 @@ DOCS = [
 
 def norm(t):
     import re
-    return re.sub(r"\s+", " ", t).lower()
+    return re.sub(r"\s+", " ", t).lower().strip()
 
 
 def word_ngrams(t, n=3):
@@ -58,8 +58,9 @@ def test_exact_duplicates_oracle(spark, docs):
     want_groups = sorted(sorted(v) for v in want.values() if len(v) > 1)
     got_groups = sorted(sorted(r["doc_ids"]) for r in groups)
     assert got_groups == want_groups
-    # note: doc 3 normalizes to ' die ... stadt ' != doc 1 unless stripped;
-    # the oracle above IS the contract — whatever it says, engine matches.
+    # doc 3 trims to exactly doc 1's normalized text: whitespace-padded
+    # twins ARE exact dups (CCNet-style strip); the oracle IS the contract.
+    assert any(3 in g and 1 in g for g in got_groups)
 
 
 def test_ngram_jaccard_pairs_exact_values(spark, docs):
@@ -96,8 +97,7 @@ def test_minhash_lsh_finds_identical_and_near(spark, docs):
 def test_simhash_identity_and_hamming(spark, docs):
     sims = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
     assert sims[1] == sims[2]  # identical normalized token streams
-    # doc 3 keeps leading/trailing '' tokens after whitespace-collapse
-    # (norm does not trim), so it is a NEAR dup, not an exact one
+    assert sims[1] == sims[3]  # padded twin trims to the same stream
     assert sims[1] != sims[5]
     pairs = {(r["a"], r["b"]): r["hamming"]
              for r in hamming_pairs(simhash(docs), max_distance=16).collect()}

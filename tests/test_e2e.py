@@ -197,3 +197,20 @@ def test_cooccurrence_lift_oracle(spark):
     assert ("hash", "spark") in got and got[("hash", "spark")][0] == 2
     assert all(a < b for a, b in got)          # canonical orientation
     assert "stream" in {x for ab in got for x in ab}  # 1-doc surface kept
+
+
+def test_triples_custom_cues_quoting_and_empty(spark):
+    """Cue lists are user input: quotes must not break plan parsing and
+    an empty list means no triples, not an analysis error."""
+    from thesis_ner_co_tri_training_spark.operators.tagging import (
+        tag_and_vote_pages_df)
+
+    pages = spark.createDataFrame(
+        [("u1", "Angela Merkel visited Berlin. Peter Schmidt works at "
+                "Siemens.")],
+        "url string, text string")
+    voted = tag_and_vote_pages_df(pages)
+    quoted = extract_triples(voted, cues=["d'accord", "visited", "at"])
+    baseline = extract_triples(voted, cues=["visited", "at"])
+    assert quoted.count() == baseline.count()
+    assert extract_triples(voted, cues=[]).count() == 0

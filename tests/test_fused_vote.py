@@ -104,3 +104,30 @@ def test_tagging_stats_parity(spark):
             assert s_confs == confs
             assert counts == tag_counts_py(tags)
             assert cfd == avg_confident_score_flat(tags, confs, ignore_o=True)
+
+
+def test_fused_paths_survive_null_and_unicode_pages(spark):
+    """One malformed source row (null text/html — jsonl/warc parse_error
+    rows emit exactly this) and one No-category unicode digit token must
+    not kill the fused Arrow workers."""
+    from thesis_ner_co_tri_training_spark.operators.tagging import (
+        tag_and_vote_pages_df, tag_pages_df)
+
+    pages = spark.createDataFrame(
+        [("u1", "Angela Merkel visited Berlin in 2019. Total: ²⁰²⁵ units."),
+         ("u2", None),
+         ("u3", "Peter Schmidt works at Siemens.")],
+        "url string, text string")
+    sv = tag_pages_df(pages)
+    assert sv.filter("url = 'u2'").count() == 0  # null text = no sentences
+    assert sv.filter("url = 'u1'").count() > 0
+    voted = tag_and_vote_pages_df(pages)
+    assert voted.filter("url = 'u2'").count() == 0
+
+    html_pages = spark.createDataFrame(
+        [("h1", b"<html><body>Angela Merkel in Berlin.</body></html>"),
+         ("h2", None)],
+        "url string, html binary")
+    sv2 = tag_pages_df(html_pages)
+    assert sv2.filter("url = 'h2'").count() == 0
+    assert sv2.filter("url = 'h1'").count() > 0

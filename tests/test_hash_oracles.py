@@ -30,7 +30,7 @@ def _docs(sf_dir):
 
 def _norm_tokens(text):
     import re
-    return re.sub(r"\s+", " ", text.lower()).split(" ")
+    return re.sub(r"\s+", " ", text.lower()).strip().split(" ")
 
 
 def test_xxh64_matches_spark(spark):

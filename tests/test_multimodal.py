@@ -163,3 +163,23 @@ def test_wav_truncated_data_chunk_is_decode_error():
         _decode_wav(wav[: len(wav) // 2])
     # untouched payload still decodes to the same shape
     assert _decode_wav(wav)[0].shape == full.shape
+
+
+def test_degenerate_ppm_headers_are_decode_errors():
+    """Zero-width, zero-maxval and 16-bit PPMs must raise (-> the
+    decode_error column), not produce NaN/garbage features silently."""
+    import pytest
+
+    from thesis_ner_co_tri_training_spark.operators.multimodal import (
+        _decode_ppm)
+
+    with pytest.raises(ValueError, match="dimensions"):
+        _decode_ppm(b"P6\n0 5\n255\n")
+    with pytest.raises(ValueError, match="dimensions"):
+        _decode_ppm(b"P6\n5 0\n255\n")
+    with pytest.raises(ValueError, match="maxval"):
+        _decode_ppm(b"P6\n2 2\n0\n" + b"\x00" * 12)
+    with pytest.raises(ValueError, match="maxval"):
+        _decode_ppm(b"P6\n2 2\n65535\n" + b"\x00" * 24)
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_ppm(b"P6\n4 4\n255\n" + b"\x00" * 10)

@@ -79,3 +79,16 @@ def test_rename_spark_parity(spark):
     df = spark.createDataFrame([(v,) for v in vals], ["t"])
     got = [r["s"] for r in df.select(rename_tags_col("t").alias("s")).collect()]
     assert got == [rename_tags(v) for v in vals]
+
+
+def test_rename_spark_parity_adversarial(spark):
+    """Single-pass alternation parity on inputs where a sequential
+    replace chain diverges: PERSON->PER re-forms PERCENT in
+    'PERSONCENT' (chain would cascade it to 'PERC'; the reference's
+    one-pass regex leaves 'PERCENT'), and overlapping key runs pick
+    the leftmost match like re.sub."""
+    vals = ["PERSONCENT", "LANGUAGEVENT", "PERCENTPERSON",
+            "XPERSONX", "EVENTEVENT", "WORK_OF_ARTWORK_OF_ART"]
+    df = spark.createDataFrame([(v,) for v in vals], ["t"])
+    got = [r["s"] for r in df.select(rename_tags_col("t").alias("s")).collect()]
+    assert got == [rename_tags(v) for v in vals]

@@ -20,8 +20,11 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # Ordered exactly as the reference dict (co_training.py:205-214). Alternation
-# is leftmost-alternative-first in Python re; a sequential replace chain is
-# equivalent for this key set (no produced value re-matches a later key).
+# is leftmost-alternative-first in Python re. NOTE: a sequential replace
+# chain is NOT equivalent in general (PERSON->PER can re-form PERCENT for a
+# later rule to consume — see rename_tags_col); both the oracle and the
+# engine implement the reference's single-pass alternation. Sequential
+# chains are only safe on whole-tag values (the q07 oracle's domain).
 TAG_RENAME = [
     ("EVENT", "EVT"),
     ("LANGUAGE", "LAN"),
@@ -196,8 +199,25 @@ def avg_cfd(preds: Column | str, ignore_o: bool = True) -> Column:
 
 
 def rename_tags_col(col: Column | str) -> Column:
-    """F5: ordered regexp_replace chain (dict order, co_training.py:205-217)."""
+    """F5: SINGLE-PASS alternation rename (co_training.py:205-217 builds
+    one `(EVENT|LANGUAGE|...)` regex and maps each match through the
+    dict — matched spans are consumed, never rescanned).
+
+    A naive sequential regexp_replace chain is NOT equivalent: on
+    'PERSONCENT' the chain's PERSON->PER output re-forms 'PERCENT'
+    which the later PERCENT rule rewrites to 'PERC', while the
+    reference's single pass yields 'PERCENT' (rename_tags above is the
+    pinned oracle). JVM regexp_replace cannot map per-match, so the
+    single pass is emulated in two cascade-free phases: one alternation
+    pass wraps every matched key in a private-use delimiter (leftmost
+    position, first-listed alternative — same scan rule as re.sub /
+    java.util.regex), then per-key literal passes map the delimited
+    spans; produced values contain no delimiter, so nothing re-matches.
+    """
+    mark = "\ue000"  # private-use char: cannot occur in tag text
     out = F.col(col) if isinstance(col, str) else col
+    alt = "|".join(k for k, _ in TAG_RENAME)
+    out = F.regexp_replace(out, f"({alt})", f"{mark}$1{mark}")
     for k, v in TAG_RENAME:
-        out = F.regexp_replace(out, k, v)
+        out = F.regexp_replace(out, f"{mark}{k}{mark}", v)
     return out

@@ -204,6 +204,11 @@ def extract_text(html_doc: str | bytes) -> str:
     semantic definition and takes every document the scanner cannot
     prove equivalent.
     """
+    if html_doc is None:
+        # null html rows exist by design (source parse_error rows from
+        # jsonl/warc PERMISSIVE modes); the fused workers must treat
+        # them as empty documents, not die on len(None)
+        return ""
     if isinstance(html_doc, (bytes, bytearray)):
         html_doc = html_doc.decode("utf-8", errors="replace")
     raw = _extract_fast(html_doc)
@@ -228,6 +233,8 @@ def split_sentences(text: str) -> list[str]:
     drop empties. The >10-token floor there is a corpus-specific filter,
     exposed separately as a predicate (operators.selection.min_tokens).
     """
+    if text is None:
+        return []  # null-text rows (source parse errors) = no sentences
     out = []
     for frag in re.split(r"[?.!]", text.replace("\n", " ")):
         frag = _WS_RE.sub(" ", frag).strip()

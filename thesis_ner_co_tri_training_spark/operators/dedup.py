@@ -19,7 +19,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-NORM = lambda c: F.lower(F.regexp_replace(c, r"\s+", " "))
+# lower + collapse whitespace runs + TRIM. The trim matters: without it
+# leading/trailing whitespace leaves empty-string tokens after split
+# (poisoning shingles/simhash votes) and makes 'x' vs 'x\n' hash as
+# different exact-dup keys — CCNet-style normalization strips, and every
+# other tokenizer in the suite (set_similarity_join, repeated_spans,
+# textstats.tokens_col) already trims. DuckDB oracle twin:
+# trim(lower(regexp_replace(text, '\s+', ' ', 'g'))).
+NORM = lambda c: F.trim(F.lower(F.regexp_replace(c, r"\s+", " ")))
 
 
 def _widen(df: DataFrame) -> DataFrame:
@@ -305,17 +312,28 @@ def set_similarity_join(df: DataFrame, id_col: str = "doc_id",
             ).alias("ts"),
         )
     )
+    # EXACT rational threshold arithmetic. ceil(t*n) computed through a
+    # float rounds the wrong way on exact-product boundaries (0.55*100
+    # = 55.000000000000007 -> ceil 56 -> prefix one token SHORT of the
+    # lossless bound — a silent recall hole in an operator whose whole
+    # contract is "no recall loss"). t is taken at its DECIMAL face
+    # value (str(threshold)) as p/q; ceil(n*p/q) = (n*p + q - 1) DIV q
+    # in BIGINTs, and every t-comparison below is cross-multiplied.
+    from decimal import Decimal
+
+    p_, q_ = Decimal(str(threshold)).as_integer_ratio()
     plen = (F.col("n")
-            - F.ceil(F.lit(float(threshold)) * F.col("n")) + 1).cast("int")
+            - F.expr(f"CAST((n * {p_} + {q_ - 1}) DIV {q_} AS INT)")
+            + 1).cast("int")
     pref = ordered.select(
         "id", "n", F.explode(F.slice("ts", F.lit(1), plen)).alias("tok"))
     a, b = pref.alias("pa"), pref.alias("pb")
-    t = F.lit(float(threshold))
     cand = (
         a.join(b, (F.col("pa.tok") == F.col("pb.tok"))
                & (F.col("pa.id") < F.col("pb.id"))
-               & (F.col("pa.n") >= t * F.col("pb.n"))
-               & (F.col("pb.n") >= t * F.col("pa.n")))
+               # size filter n_small >= t * n_large, cross-multiplied
+               & (F.col("pa.n") * q_ >= F.col("pb.n") * p_)
+               & (F.col("pb.n") * q_ >= F.col("pa.n") * p_))
         .select(F.col("pa.id").alias("a"), F.col("pb.id").alias("b"))
         .distinct()
     )
@@ -327,7 +345,8 @@ def set_similarity_join(df: DataFrame, id_col: str = "doc_id",
         cand.join(fa, "a").join(fb, "b")
         .select("a", "b", inter.alias("inter"), uni.alias("uni"),
                 (inter / uni).alias("jaccard"))
-        .filter(F.col("jaccard") >= t)
+        # J >= t exactly: inter/uni >= p/q  <=>  inter*q >= uni*p
+        .filter(F.col("inter") * q_ >= F.col("uni") * p_)
     )
 
 
@@ -461,10 +480,13 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
         from .simsearch import hyperplane_signature, probe_buckets
 
         if dim is None:
-            # metadata probe: one element, one row; on an EMPTY input any
-            # dim works (every stage below is empty-safe), so don't crash
-            row = emb.select(F.size(vec_col)).first()
-            dim = int(row[0]) if row is not None else 1
+            # metadata probe: one row; on an EMPTY input any dim works
+            # (every stage below is empty-safe), so don't crash. max()
+            # over a non-null filter, not first(): first() can land on
+            # a row with a NULL embedding (size -> null -> int(None)
+            # TypeError on the driver).
+            row = emb.agg(F.max(F.size(vec_col))).first()
+            dim = int(row[0]) if row is not None and row[0] is not None else 1
         probe_side = exact_side = None
         for band in range(bands):
             s = hyperplane_signature(
@@ -817,10 +839,22 @@ def dedup_against_index(new_docs: DataFrame, index: DataFrame,
         .select(F.col(f"l.{id_col}").alias("a"),
                 F.col(f"r.{id_col}").alias("b"))
         .distinct()
+        # referenced three times below (pair relation + both id prunes)
+        .localCheckpoint(eager=True)
     )
+    # Semi-join BOTH doc sides down to candidate ids BEFORE the verify:
+    # ngram_jaccard_pairs shingles whatever corpus it is handed, and the
+    # id filter cannot be pushed through its shingle groupBy — without
+    # this prune every batch re-tokenized the ENTIRE old corpus,
+    # violating the O(batch) contract above (candidates are O(batch) by
+    # construction: each is anchored at a new doc).
+    a_ids = cand.select(F.col("a").alias(id_col)).distinct()
+    b_ids = cand.select(F.col("b").alias(id_col)).distinct()
     corpus = (
-        new_docs.select(id_col, text_col)
-        .unionByName(old_docs.select(id_col, text_col))
+        new_docs.join(a_ids, id_col, "left_semi").select(id_col, text_col)
+        .unionByName(
+            old_docs.join(b_ids, id_col, "left_semi")
+            .select(id_col, text_col))
     )
     return ngram_jaccard_pairs(corpus, cand, id_col, text_col, n,
                                threshold)

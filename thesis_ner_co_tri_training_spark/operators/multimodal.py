@@ -59,7 +59,21 @@ def _decode_ppm(payload: bytes) -> np.ndarray:
     if tokens[0] != b"P6":
         raise ValueError(f"not a P6 ppm: {tokens[0]!r}")
     w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+    # Degenerate headers must route to decode_error, not slip through:
+    # w/h <= 0 yields an empty array whose feature means are NaN (with
+    # decode_error null!), maxval <= 0 divides by zero, and maxval >
+    # 255 means 2-byte samples per the P6 spec — reading those as uint8
+    # is silent garbage.
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid PPM dimensions {w}x{h}")
+    if not 0 < maxval <= 255:
+        raise ValueError(
+            f"unsupported PPM maxval {maxval} (only 1-byte samples)")
     pos += 1  # single whitespace after maxval
+    if len(payload) - pos < w * h * 3:
+        raise ValueError(
+            f"truncated PPM payload: need {w * h * 3} bytes, "
+            f"have {len(payload) - pos}")
     raw = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
     return raw.reshape(h, w, 3).astype(np.float32) / float(maxval)
 
@@ -222,13 +236,16 @@ def extract_features(media: DataFrame, dim: int = 8,
                         struct.error) as e:
                     feats.append(_fake_features(raw, dim))
                     errs.append(str(e))
-            yield pd.DataFrame({
-                "media_id": pdf["media_id"],
-                "kind": pdf["kind"],
-                "feat": feats,
-                "feat_dim": [dim] * len(pdf),
-                "decode_error": errs,
-            })
+            if len(pdf):
+                # zero-row chunks yield nothing (empty float64 columns
+                # don't Arrow-convert to array<float>)
+                yield pd.DataFrame({
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "feat": feats,
+                    "feat_dim": [dim] * len(pdf),
+                    "decode_error": errs,
+                })
 
     src = media.repartition(max(media.sparkSession.sparkContext.defaultParallelism, 4))
     return src.select("media_id", "kind", "payload").mapInPandas(

@@ -162,8 +162,17 @@ def _v2_rule(low: str) -> tuple[str, float] | None:
     returned (tag, conf) pair is shared objects (no per-hit f-string or
     float). Semantics identical to the original inline chain."""
     if low.isdigit():
-        if len(low) == 4 and 1900 <= int(low) <= 2099:
-            return "B-DATE", _stable_conf(f"v2|date|{low}")
+        # isdigit() is true for tokens int() can't parse (superscript /
+        # No-category digits like '²⁰²⁵', which survive strip_punct
+        # because \w includes them) — those must not kill the job; they
+        # take the plain-CARDINAL branch like any non-year digit run.
+        if len(low) == 4:
+            try:
+                year = int(low)
+            except ValueError:
+                year = None
+            if year is not None and 1900 <= year <= 2099:
+                return "B-DATE", _stable_conf(f"v2|date|{low}")
         return "B-CARDINAL", _stable_conf(f"v2|card|{low}")
     if low in _ORG_SUFFIX_SET:
         return "B-ORG", _stable_conf(f"v2|org|{low}")
@@ -367,7 +376,12 @@ def tag_sentences_df(sentences: DataFrame, passthrough: list[str] | None = None,
             }
             for c in passthrough:
                 out[c] = pdf[c]
-            yield pd.DataFrame(out)
+            if len(pdf):  # out["url"] is a Series here, not a list
+                # a zero-row chunk (e.g. every input row had null
+                # text/html) must yield NOTHING: pd.DataFrame of empty
+                # python lists infers float64 columns, and Arrow cannot
+                # convert an empty float64 to array<string>
+                yield pd.DataFrame(out)
 
     return sentences.select("url", "sent_id", "text", *passthrough).mapInPandas(
         run, SENT_VIEWS_SCHEMA + extra_schema
@@ -405,7 +419,12 @@ def _tag_sentences_flat(sentences: DataFrame, passthrough: list[str]) -> DataFra
                 out["cos12"].append(cos12)
                 out["cos23"].append(cos23)
                 out["cos13"].append(cos13)
-            yield pd.DataFrame(out)
+            if out["url"]:
+                # a zero-row chunk (e.g. every input row had null
+                # text/html) must yield NOTHING: pd.DataFrame of empty
+                # python lists infers float64 columns, and Arrow cannot
+                # convert an empty float64 to array<string>
+                yield pd.DataFrame(out)
 
     return sentences.select("url", "sent_id", "text", *passthrough).mapInPandas(
         run, SENT_VIEWS_FLAT_SCHEMA + extra_schema
@@ -466,7 +485,12 @@ def tag_pages_df(pages: DataFrame, passthrough: list[str] | None = None) -> Data
                     out["cos13"].append(cos13)
                     for col in passthrough:
                         out[col].append(pdf[col].iloc[row_i])
-            yield pd.DataFrame(out)
+            if out["url"]:
+                # a zero-row chunk (e.g. every input row had null
+                # text/html) must yield NOTHING: pd.DataFrame of empty
+                # python lists infers float64 columns, and Arrow cannot
+                # convert an empty float64 to array<string>
+                yield pd.DataFrame(out)
 
     return pages.select(*in_cols).mapInPandas(run, SENT_VIEWS_FLAT_SCHEMA + extra_schema)
 
@@ -545,7 +569,12 @@ def tag_and_vote_pages_df(
                     out["cos_score"].append(cos)
                     for col in passthrough:
                         out[col].append(pdf[col].iloc[row_i])
-            yield pd.DataFrame(out)
+            if out["url"]:
+                # a zero-row chunk (e.g. every input row had null
+                # text/html) must yield NOTHING: pd.DataFrame of empty
+                # python lists infers float64 columns, and Arrow cannot
+                # convert an empty float64 to array<string>
+                yield pd.DataFrame(out)
 
     return pages.select(*in_cols).mapInPandas(run, out_schema)
 

@@ -116,7 +116,9 @@ def fingerprint(df: DataFrame, text_col: str = "text",
                 clustering key for boilerplate detection)
       fp_full   md5 of the full normalized text (exact-dup key)
     """
-    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    # same normalization as dedup.NORM (trim + collapse + lower): the
+    # fingerprint is an identity key, and 'x' vs 'x\n' must collide
+    norm = F.trim(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return df.withColumns({
         "fp_head": F.md5(F.substring(norm, 1, head_chars)),
         "fp_full": F.md5(norm),
@@ -202,23 +204,29 @@ PII_IP = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
 
 
 def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Web-corpus PII scrub: emails, phone-number-shaped digit runs and
-    IPv4 literals replaced with typed placeholders, plus per-row counts
-    (counted BEFORE redaction; replacement order email -> phone -> ip is
-    part of the contract — a phone inside an email never double-fires).
-    Pure JVM regexp expressions, one pass over the scan.
+    """Web-corpus PII scrub: emails, IPv4 literals and phone-number-
+    shaped digit runs replaced with typed placeholders, plus per-row
+    counts. Replacement order email -> IP -> phone is part of the
+    contract: a dotted-quad LONG enough for the phone shape (e.g.
+    192.168.100.200) must land as <IP>, not <PHONE> — so IPs are
+    masked first, and n_phones is counted on the IP-masked text so
+    counts always reconcile with the placeholders in text_redacted
+    (n_emails/n_ips patterns can't overlap each other or phones' spans
+    after masking). Pure JVM regexp expressions, one pass over the scan.
     """
     t = F.col(text_col)
+    ip_masked = F.regexp_replace(t, PII_IP, "<IP>")
     counts = {
         "n_emails": F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0))),
-        "n_phones": F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), F.lit(0))),
+        "n_phones": F.size(F.regexp_extract_all(ip_masked, F.lit(PII_PHONE),
+                                                F.lit(0))),
         "n_ips": F.size(F.regexp_extract_all(t, F.lit(PII_IP), F.lit(0))),
     }
     red = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(t, PII_EMAIL, "<EMAIL>"),
-            PII_PHONE, "<PHONE>"),
-        PII_IP, "<IP>")
+            PII_IP, "<IP>"),
+        PII_PHONE, "<PHONE>")
     return df.withColumns({**counts, "text_redacted": red})
 
 

@@ -32,7 +32,17 @@ def triples_from_spans(tokens_col: str = "tokens", ms_col: str = "ms",
     """
     if cues is None:
         cues = CUES
-    cues_arr = "array(" + ",".join(f"'{c}'" for c in cues) + ")"
+    if not cues:
+        # array() parses as array<void> and array_contains fails
+        # analysis; no cues = no triples, as an explicit empty result
+        return F.expr(
+            "CAST(array() AS array<struct<subj string, pred string, "
+            "obj string, confidence double>>)")
+    # SQL-escape each cue (double the quotes): a cue like "d'accord"
+    # interpolated raw is a ParseException at plan build
+    cues_arr = ("array("
+                + ",".join("'" + c.replace("'", "''") + "'" for c in cues)
+                + ")")
     gap = (
         f"slice({tokens_col}, m1.end + 1, greatest(m2.beg - m1.end, 0))"
     )

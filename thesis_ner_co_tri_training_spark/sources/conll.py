@@ -129,8 +129,13 @@ def conll_scan(spark: SparkSession, path_glob: str, fmt: str = "onto",
                     ids.append(i)
                     texts.append(s)
                     tags.append(lbl)
-            yield pd.DataFrame({
-                "path": paths, "sent_id": ids, "text": texts, "tags": tags,
-            })
+            if paths:
+                # a zero-row chunk must yield NOTHING: pd.DataFrame of
+                # empty lists infers float64 columns, which Arrow cannot
+                # convert to array<string>
+                yield pd.DataFrame({
+                    "path": paths, "sent_id": ids, "text": texts,
+                    "tags": tags,
+                })
 
     return files.mapInPandas(run, SENTS_SCHEMA)

@@ -108,7 +108,10 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                     out["html"].append(body)
                     out["warc_file"].append(fname)
                     out["parse_error"].append(None)
-            yield pd.DataFrame(out)
+            if out["warc_file"]:
+                # zero-row chunks yield nothing (empty float64 columns
+                # don't Arrow-convert to timestamp/binary)
+                yield pd.DataFrame(out)
 
     return files.select("path", "content").mapInPandas(run, PAGES_OUT_SCHEMA)
 
