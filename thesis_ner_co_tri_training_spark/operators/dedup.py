@@ -848,8 +848,10 @@ def dedup_against_index(new_docs: DataFrame, index: DataFrame,
     # this prune every batch re-tokenized the ENTIRE old corpus,
     # violating the O(batch) contract above (candidates are O(batch) by
     # construction: each is anchored at a new doc).
-    a_ids = cand.select(F.col("a").alias(id_col)).distinct()
-    b_ids = cand.select(F.col("b").alias(id_col)).distinct()
+    # broadcast the id sides: they are candidate-bounded (O(batch)), and
+    # a shuffle semi-join would move the full old-corpus text instead
+    a_ids = F.broadcast(cand.select(F.col("a").alias(id_col)).distinct())
+    b_ids = F.broadcast(cand.select(F.col("b").alias(id_col)).distinct())
     corpus = (
         new_docs.join(a_ids, id_col, "left_semi").select(id_col, text_col)
         .unionByName(
