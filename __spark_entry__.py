@@ -1180,7 +1180,7 @@ def q57_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_counts)
 
     docs = token_counts(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "n_tokens")
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
     return (
         fill_token_budget(docs, budget=10_000)
         .select("doc_id", "n_tokens", "cum_tokens", "kept")
@@ -2498,7 +2498,7 @@ def _q34_sql() -> str:
     e, p, ip = (esc(PII_EMAIL), esc(PII_PHONE), esc(PII_IP))
     return f"""
         WITH src(row_id, text) AS (VALUES {vals})
-        SELECT row_id,
+        SELECT CAST(row_id AS BIGINT) AS row_id,
                CAST(len(regexp_extract_all(text, '{e}')) AS INTEGER) AS n_emails,
                CAST(len(regexp_extract_all(
                    regexp_replace(text, '{ip}', '<IP>', 'g'), '{p}'))

@@ -181,6 +181,7 @@ def single_run() -> int:
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+    warm_mat: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
@@ -192,6 +193,17 @@ def single_run() -> int:
         t0 = time.time()
         qs[name](spark, sf_dir).count()
         warm[name] = round(time.time() - t0, 3)
+        # Fully-MATERIALIZED steady-state pass (noop sink): count() lets
+        # Catalyst prune final projections and eliminate top sorts, so
+        # it under-measures queries whose cost sits in computed output
+        # columns or a global ORDER BY. The noop writer produces every
+        # output row/column (what the driver's toPandas contract check
+        # pays) with zero sink cost. Additive field — `value`/`warm`
+        # keep the count() methodology for cross-round comparability.
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite").save()
+        warm_mat[name] = round(time.time() - t0, 3)
         _ = n
 
     # KG pipeline throughput: pages -> sentences -> tagging -> vote ->
@@ -244,6 +256,8 @@ def single_run() -> int:
         "queries": timings,
         "queries_warm": warm,
         "value_warm": round(sum(warm.values()), 3),
+        "queries_warm_materialized": warm_mat,
+        "value_warm_materialized": round(sum(warm_mat.values()), 3),
         "sf": sf_dir,
         "cpus": cpus,
         "kg_pages": KG_PAGES,

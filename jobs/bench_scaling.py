@@ -175,9 +175,15 @@ def run_ceiling(cores: int, pages_dir: str, n_pages: int,
 
     files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
     shards = [(files[i::cores], source) for i in range(cores)]
-    with Pool(cores) as pool:
-        # warmup: imports + gazetteer build in every proc
-        pool.map(_ceiling_worker, [(files[:1], source)] * cores)
+    # warmup via Pool initializer: runs EXACTLY ONCE PER WORKER at
+    # spawn. A warmup pool.map of `cores` tasks does NOT guarantee
+    # one per worker (dynamic scheduling lets a fast worker steal a
+    # second warmup task, leaving another cold) — cold workers would
+    # then pay import + gazetteer build inside the timed pass,
+    # deflating the ceiling more at 32 cores than at 8, which is the
+    # exact denominator the spark_relative criterion divides by.
+    with Pool(cores, initializer=_ceiling_worker,
+              initargs=((files[:1], source),)) as pool:
         t0 = time.time()
         res = pool.map(_ceiling_worker, shards)
         sec = time.time() - t0

@@ -196,6 +196,27 @@ def do_append(spark, wh: str, n: int, threshold: float = 0.8) -> dict:
             batch = _regen_batch(p["start"], p["n_fresh"], tag)
             repaired += _maintain_tables(batch, p)
 
+    if repaired:
+        # The repair completed a crashed batch (matches were written,
+        # maintenance tables were not). STOP here as the resumed run:
+        # the maintenance params advanced next_start, so falling
+        # through would ingest an additional fresh batch — an operator
+        # retrying one failed `--append N` would double the intended
+        # page count. Exactly-once contract: complete, then stop; the
+        # next invocation appends the next batch.
+        return {
+            "op": "append",
+            "batch_tag": max(
+                (p["batch_tag"] for p in match_recs
+                 if p.get("batch_tag")),
+                key=lambda t: int(t.rsplit("-", 1)[1]),
+                default=None),
+            "resumed": True,
+            "repaired": repaired,
+            "matches_total":
+                read_table(spark, wh, "dedup_matches").count(),
+        }
+
     start = _latest_params(wh, "dedup_docs", "next_start")["next_start"]
     batch_tag = f"batch-{start}"
     if batch_tag in _tags("dedup_matches"):

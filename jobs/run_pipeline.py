@@ -146,7 +146,12 @@ def main() -> int:
         n_pages = args.pages
 
     t0 = time.time()
-    lineage = run_pipeline(spark, pages, args.warehouse, resume=not args.no_resume)
+    # n_pages rides the stage params so a resume against a warehouse
+    # built from a different input fails loudly instead of silently
+    # returning the old corpus's tables
+    lineage = run_pipeline(spark, pages, args.warehouse,
+                           params={"n_pages": n_pages},
+                           resume=not args.no_resume)
     elapsed = time.time() - t0
 
     summary = {

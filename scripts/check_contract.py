@@ -64,6 +64,22 @@ def main(sf_dir: str) -> int:
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"{name}: DUCKDB ERROR {str(e)[:300]}")
             continue
+        # dtype gate for integer columns: repr canon collapses int32 vs
+        # int64 ('5' either way), but the driver's value hash is dtype-
+        # sensitive — an INT-cast Spark column against a BIGINT oracle
+        # must FAIL here, not at the driver. Only integer kinds are
+        # gated: float/datetime unit differences are conversion-side
+        # artifacts the repr compare already handles exactly.
+        bad_dtype = None
+        for c in sorted(set(sdf.columns) & set(odf.columns)):
+            sk, ok_ = sdf[c].dtype, odf[c].dtype
+            if sk.kind in "iu" and ok_.kind in "iu" and sk != ok_:
+                bad_dtype = f"int dtype {c}: {sk} vs {ok_}"
+                break
+        if bad_dtype:
+            failures.append((name, bad_dtype))
+            print(f"{name}: INT DTYPE MISMATCH {bad_dtype}")
+            continue
         s, o = canon(sdf), canon(odf)
         if list(s.columns) != list(o.columns):
             failures.append((name, f"cols {list(s.columns)} vs {list(o.columns)}"))

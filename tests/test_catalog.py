@@ -234,3 +234,38 @@ def test_concurrent_snap_id_claim_never_clobbers(spark, tmp_path):
     assert "snap-1" in res["removed_dirs"]
     assert not os.path.exists(os.path.join(wh, "t", "data",
                                            "snap-1.claim"))
+
+
+def test_write_table_serializes_under_table_lock(spark, tmp_path):
+    """Concurrent mutators (the streaming-sink + maintenance pair) must
+    serialize on the table lock: a writer entering while the lock is
+    held blocks until release, then reads the true latest snapshot —
+    no lost-update lineage fork."""
+    import threading
+    import time as _time
+
+    from thesis_ner_co_tri_training_spark.sources.catalog import (
+        _table_write_lock)
+
+    wh = str(tmp_path)
+    catalog.write_table(_df(spark, 0, 3), wh, "t")
+
+    published = []
+
+    def rival():
+        snap = catalog.write_table(_df(spark, 3, 6), wh, "t",
+                                   mode="append")
+        published.append(snap)
+
+    with _table_write_lock(wh, "t"):
+        th = threading.Thread(target=rival)
+        th.start()
+        # the rival must NOT publish while we hold the lock
+        _time.sleep(2.0)
+        assert published == []
+    th.join(60)
+    assert len(published) == 1
+    snap = published[0]
+    assert snap["parent_snapshot_id"] == 0
+    assert snap["data_paths"] == ["snap-0", "snap-1"]
+    assert _ids(catalog.read_table(spark, wh, "t")) == list(range(6))

@@ -59,7 +59,9 @@ def test_init_append_maintain_parity(spark, wh):
     # a crash between the matches write and the maintenance appends:
     # the next run's repair pass replays the three missing appends from
     # the matches record (never re-matching batch-90 — its matches rows
-    # stay exactly-once), then proceeds with the NEXT batch
+    # stay exactly-once) and STOPS as the resumed run — an operator
+    # retrying one failed `--append N` must not ingest an extra batch.
+    # The following invocation proceeds with the NEXT batch.
     for t in ("dedup_docs", "dedup_index", "dedup_shingles"):
         snap = catalog.latest_snapshot(wh, t)
         assert snap["params"]["batch_tag"] == "batch-90"
@@ -71,7 +73,11 @@ def test_init_append_maintain_parity(spark, wh):
     again = do_append(spark, wh, 20)
     assert sorted(again["repaired"]) == [
         "dedup_docs", "dedup_index", "dedup_shingles"]
-    assert again["batch_tag"] == "batch-110"
+    assert again["resumed"] is True and again["batch_tag"] == "batch-90"
+    assert audit(spark, wh)["index_parity"] is True
+    nxt = do_append(spark, wh, 20)
+    assert nxt["resumed"] is False and nxt["repaired"] == []
+    assert nxt["batch_tag"] == "batch-110"
     assert audit(spark, wh)["index_parity"] is True
     # batch-90's matches were not rewritten by the repair
     tags90 = [s for s in catalog.snapshots(wh, "dedup_matches")
@@ -94,4 +100,5 @@ def test_crash_repair_survives_maintenance(spark, wh):
     assert audit(spark, wh)["index_parity"] is False
     a3 = do_append(spark, wh, 10)
     assert "dedup_index" in a3["repaired"]
+    assert a3["resumed"] is True  # complete-then-stop, no extra batch
     assert audit(spark, wh)["index_parity"] is True

@@ -24,6 +24,7 @@ stages (north rule requirement); the salt factor is recorded in lineage.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -84,7 +85,18 @@ def run_pipeline(
 
     def stage(name: str, build, partition_by=None, stage_params=None):
         if resume and catalog.table_complete(warehouse, name):
-            lineage[name] = catalog.latest_snapshot(warehouse, name)
+            snap = catalog.latest_snapshot(warehouse, name)
+            # only resume work done under THESE params: silently
+            # returning stages built with different thresholds (or a
+            # different --pages input, via n_pages when the caller
+            # passes it) mislabels stale outputs as this run's
+            stored = {k: snap.get("params", {}).get(k) for k in p}
+            if stored != p:
+                raise ValueError(
+                    f"run_pipeline: warehouse {warehouse!r} stage {name} "
+                    f"was written with params {stored}, this run wants "
+                    f"{p} — use a fresh warehouse or resume=False")
+            lineage[name] = snap
             lineage[name]["resumed"] = True
             return catalog.read_table(spark, warehouse, name)
         df = build()
@@ -338,9 +350,25 @@ def run_pipeline_incremental(
         if parent is None:
             return catalog.read_table(spark, warehouse, name,
                                       snapshot_id=snap["snapshot_id"])
-        return catalog.read_incremental(
-            spark, warehouse, name,
-            from_snapshot=parent, to_snapshot=snap["snapshot_id"])
+        try:
+            return catalog.read_incremental(
+                spark, warehouse, name,
+                from_snapshot=parent, to_snapshot=snap["snapshot_id"])
+        except ValueError:
+            # The parent's manifest can be gone (table_maint expire-keep
+            # ran between the append and its processing); the batch is
+            # still recoverable from the snapshot's OWN manifest — an
+            # append adds exactly one dir, data_paths[-1]. Without this
+            # fallback the batch is permanently bricked: resume can't
+            # derive the delta and re-append is (rightly) refused by tag.
+            from ..sources.catalog import _data_dir, _read_paths
+            own = snap.get("data_paths", [])
+            if not own:
+                raise
+            return _read_paths(
+                spark,
+                [os.path.join(_data_dir(warehouse, name), own[-1])],
+                schema_json=snap.get("schema"))
 
     def _stage_batches(name: str) -> set[int]:
         """pages snapshot ids this stage already processed — scanned over
@@ -374,7 +402,13 @@ def run_pipeline_incremental(
                     "rows are already in the table and the delta cannot "
                     "be re-derived — nothing to resume")
             got = max(seen) if seen else None
-            if got is not None and got != prev_batch_id:
+            # got None must ALSO match prev None: an EMPTY stage table
+            # while an earlier pages batch exists means that batch was
+            # appended but never processed here (crash between the pages
+            # append and this stage) — silently starting a later batch
+            # would drop the earlier batch's rows from every downstream
+            # table with no error, ever.
+            if got != prev_batch_id:
                 raise ValueError(
                     f"{name}: last processed pages snapshot is {got}, this "
                     f"batch follows {prev_batch_id}; batches must be "

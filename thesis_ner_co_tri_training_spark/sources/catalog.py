@@ -46,10 +46,36 @@ import json
 import os
 import shutil
 import time
+from contextlib import contextmanager
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def _table_write_lock(warehouse: str, table: str):
+    """Advisory cross-process lock serializing table mutations (writers
+    and expiry) on one host. Without it, two concurrent writers (the
+    exact pair the claim marker names: streaming sink + maintenance
+    job) both read the same `prev`, claim DIFFERENT snap ids, and both
+    publish — the later manifest silently omits the earlier writer's
+    rows from data_paths (lost update; the claim marker only prevents
+    same-id clobbers, not lineage forks). flock is released by the OS
+    if the holder dies, so a crashed writer never wedges the table.
+    A multi-host deployment needs a real Iceberg catalog's atomic
+    swap instead — same switch point as the writeTo note above."""
+    import fcntl
+
+    os.makedirs(os.path.join(warehouse, table), exist_ok=True)
+    fd = os.open(os.path.join(warehouse, table, ".write.lock"),
+                 os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
 
 
 def _metadata_dir(warehouse: str, table: str) -> str:
@@ -174,82 +200,83 @@ def write_table(
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"write_table: unsupported mode {mode!r}")
-    prev = latest_snapshot(warehouse, table)
-    snap_id = (prev["snapshot_id"] + 1) if prev else 0
-    # Claim the snap id atomically: os.mkdir fails if the dir exists, so
-    # two concurrent writers (streaming sink + maintenance job) can never
-    # pick the same id and clobber each other's data dir. The catalog is
-    # still logically single-writer (parent/row-count math reads `prev`
-    # non-transactionally); this guard turns a silent clobber into
-    # disjoint dirs + a loud manifest conflict below.
-    data_root = _data_dir(warehouse, table)
-    os.makedirs(data_root, exist_ok=True)
-    while True:
-        rel_dir = f"snap-{snap_id}"
-        out_dir = os.path.join(data_root, rel_dir)
-        try:
-            # Durable claim: an exclusive-create MARKER FILE beside the
-            # dir, not the dir itself — Spark's SaveMode.Overwrite
-            # deletes and recreates out_dir as part of the write, so a
-            # claim held by the dir alone is silently released mid-write
-            # and a concurrent writer's mkdir would succeed on the very
-            # id being written. The marker is never touched by the
-            # writer, so the claim holds for the snapshot's lifetime.
-            fd = os.open(out_dir + ".claim",
-                         os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
-            break
-        except FileExistsError:
-            snap_id += 1
+    # The lock serializes prev-read -> data write -> manifest publish
+    # against other writers AND expiry (see _table_write_lock).
+    with _table_write_lock(warehouse, table):
+        prev = latest_snapshot(warehouse, table)
+        snap_id = (prev["snapshot_id"] + 1) if prev else 0
+        # Claim the snap id: with the table lock held this can only race
+        # a CRASHED writer's leftover claim (flock died with it) — the
+        # loop skips past burned ids. The claim marker stays as defense
+        # in depth for filesystems where flock is advisory-only.
+        data_root = _data_dir(warehouse, table)
+        os.makedirs(data_root, exist_ok=True)
+        while True:
+            rel_dir = f"snap-{snap_id}"
+            out_dir = os.path.join(data_root, rel_dir)
+            try:
+                # Durable claim: an exclusive-create MARKER FILE beside the
+                # dir, not the dir itself — Spark's SaveMode.Overwrite
+                # deletes and recreates out_dir as part of the write, so a
+                # claim held by the dir alone is silently released mid-write
+                # and a concurrent writer's mkdir would succeed on the very
+                # id being written. The marker is never touched by the
+                # writer, so the claim holds for the snapshot's lifetime.
+                fd = os.open(out_dir + ".claim",
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                snap_id += 1
 
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    t0 = time.time()
-    writer.parquet(out_dir)
-    elapsed = time.time() - t0
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        t0 = time.time()
+        writer.parquet(out_dir)
+        elapsed = time.time() - t0
 
-    # Lineage metrics over the ADDED data only — O(added files) footer
-    # reads on the driver, not a second distributed scan of the data
-    # (see partition_metrics_from_files). The manifest schema is the
-    # written DataFrame's own schema (what the old explicit-schema
-    # read-back also recorded), so empty stages keep a readable schema.
-    parts = partition_metrics_from_files(out_dir)
-    added_rows = sum(p["rows"] for p in parts)
-    # one entry per parquet file by construction — no second os.walk
-    added_files = len(parts)
-    if mode == "append" and prev is not None:
-        data_paths = list(prev.get("data_paths", [])) + [rel_dir]
-        row_count = prev["row_count"] + added_rows
-        total_files = prev.get("total_data_files", 0) + added_files
-    else:
-        data_paths = [rel_dir]
-        row_count = added_rows
-        total_files = added_files
-    snapshot = {
-        "table": table,
-        "snapshot_id": snap_id,
-        "operation": operation or mode,
-        "parent_snapshot_id": prev["snapshot_id"] if prev else None,
-        "schema": df.schema.jsonValue(),
-        "partition_by": partition_by or [],
-        "data_paths": data_paths,
-        "row_count": row_count,
-        "added_rows": added_rows,
-        "added_data_files": added_files,
-        "total_data_files": total_files,
-        "partitions": parts,
-        "write_seconds": round(elapsed, 3),
-        "params": stage_params or {},
-        "snapshot_ts": int(time.time() * 1000),
-    }
-    meta = _metadata_dir(warehouse, table)
-    os.makedirs(meta, exist_ok=True)
-    # Exclusive-create ('x'): if another writer somehow published this id
-    # already, fail loudly instead of overwriting its manifest.
-    with open(_snap_meta_path(warehouse, table, snap_id), "x") as fh:
-        json.dump(snapshot, fh, indent=2, default=str)
-    return snapshot
+        # Lineage metrics over the ADDED data only — O(added files) footer
+        # reads on the driver, not a second distributed scan of the data
+        # (see partition_metrics_from_files). The manifest schema is the
+        # written DataFrame's own schema (what the old explicit-schema
+        # read-back also recorded), so empty stages keep a readable schema.
+        parts = partition_metrics_from_files(out_dir)
+        added_rows = sum(p["rows"] for p in parts)
+        # one entry per parquet file by construction — no second os.walk
+        added_files = len(parts)
+        if mode == "append" and prev is not None:
+            data_paths = list(prev.get("data_paths", [])) + [rel_dir]
+            row_count = prev["row_count"] + added_rows
+            total_files = prev.get("total_data_files", 0) + added_files
+        else:
+            data_paths = [rel_dir]
+            row_count = added_rows
+            total_files = added_files
+        snapshot = {
+            "table": table,
+            "snapshot_id": snap_id,
+            "operation": operation or mode,
+            "parent_snapshot_id": prev["snapshot_id"] if prev else None,
+            "schema": df.schema.jsonValue(),
+            "partition_by": partition_by or [],
+            "data_paths": data_paths,
+            "row_count": row_count,
+            "added_rows": added_rows,
+            "added_data_files": added_files,
+            "total_data_files": total_files,
+            "partitions": parts,
+            "write_seconds": round(elapsed, 3),
+            "params": stage_params or {},
+            "snapshot_ts": int(time.time() * 1000),
+        }
+        meta = _metadata_dir(warehouse, table)
+        os.makedirs(meta, exist_ok=True)
+        # Exclusive-create ('x'): if another writer somehow published this id
+        # already, fail loudly instead of overwriting its manifest.
+        with open(_snap_meta_path(warehouse, table, snap_id), "x") as fh:
+            json.dump(snapshot, fh, indent=2, default=str)
+        return snapshot
 
 
 def _resolve_paths(warehouse: str, table: str,
@@ -403,82 +430,85 @@ def expire_snapshots(warehouse: str, table: str,
     ever forgetting which batches were appended."""
     if keep_last < 1:
         raise ValueError("expire_snapshots: keep_last must be >= 1")
-    ids = _snapshot_ids(warehouse, table)
-    drop, keep = ids[:-keep_last], ids[-keep_last:]
-    referenced: set[str] = set()
-    for sid in keep:
-        snap = get_snapshot(warehouse, table, sid)
-        referenced.update(snap.get("data_paths", []))
-    ledgered = []
-    for sid in drop:
-        snap = get_snapshot(warehouse, table, sid)
-        params = snap.get("params", {})
-        # batch_tag: the pages/dedup batch ledger; pages_snapshot: the
-        # per-stage processed-batch ledger of run_pipeline_incremental;
-        # hasher: dedup-index parameters (a pre-batch_tag --init wrote
-        # them without a tag — losing them unledgered bricks the index,
-        # run_dedup.index_kw has nothing left to read)
-        if (params.get("batch_tag")
-                or params.get("pages_snapshot") is not None
-                or "hasher" in params):
-            ledgered.append({
-                "snapshot_id": snap["snapshot_id"],
-                "parent_snapshot_id": snap.get("parent_snapshot_id"),
-                "row_count": snap.get("row_count"),
-                "added_rows": snap.get("added_rows"),
-                "operation": snap.get("operation"),
-                "params": snap.get("params", {}),
-            })
-    if ledgered:
-        entries = batch_ledger(warehouse, table)
-        have = {e["snapshot_id"] for e in entries}
-        entries += [e for e in ledgered if e["snapshot_id"] not in have]
-        tmp = _ledger_path(warehouse, table) + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(entries, fh, indent=2, default=str)
-        os.replace(tmp, _ledger_path(warehouse, table))
-    removed_dirs = []
-    data_dir = _data_dir(warehouse, table)
-    manifested = {f"snap-{sid}" for sid in ids}
-    if os.path.isdir(data_dir):
-        for d in os.listdir(data_dir):
-            full = os.path.join(data_dir, d)
-            if not (d.startswith("snap-") and d not in referenced
-                    and os.path.isdir(full)):
-                continue
-            if d not in manifested:
-                # UNMANIFESTED dir: either a crashed write's orphan or a
-                # concurrent writer's claimed, in-flight dir (the exact
-                # pair write_table's claim design names: streaming sink +
-                # maintenance job). Age is the only distinguisher — GC
-                # only dirs untouched for `orphan_grace_s` (Iceberg's
-                # remove_orphan_files older_than convention); a live
-                # write keeps its dir mtime fresh as tasks commit files.
+    # Same lock as write_table: expiry must never run against a
+    # mid-write snapshot or a manifest being published.
+    with _table_write_lock(warehouse, table):
+        ids = _snapshot_ids(warehouse, table)
+        drop, keep = ids[:-keep_last], ids[-keep_last:]
+        referenced: set[str] = set()
+        for sid in keep:
+            snap = get_snapshot(warehouse, table, sid)
+            referenced.update(snap.get("data_paths", []))
+        ledgered = []
+        for sid in drop:
+            snap = get_snapshot(warehouse, table, sid)
+            params = snap.get("params", {})
+            # batch_tag: the pages/dedup batch ledger; pages_snapshot: the
+            # per-stage processed-batch ledger of run_pipeline_incremental;
+            # hasher: dedup-index parameters (a pre-batch_tag --init wrote
+            # them without a tag — losing them unledgered bricks the index,
+            # run_dedup.index_kw has nothing left to read)
+            if (params.get("batch_tag")
+                    or params.get("pages_snapshot") is not None
+                    or "hasher" in params):
+                ledgered.append({
+                    "snapshot_id": snap["snapshot_id"],
+                    "parent_snapshot_id": snap.get("parent_snapshot_id"),
+                    "row_count": snap.get("row_count"),
+                    "added_rows": snap.get("added_rows"),
+                    "operation": snap.get("operation"),
+                    "params": snap.get("params", {}),
+                })
+        if ledgered:
+            entries = batch_ledger(warehouse, table)
+            have = {e["snapshot_id"] for e in entries}
+            entries += [e for e in ledgered if e["snapshot_id"] not in have]
+            tmp = _ledger_path(warehouse, table) + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(entries, fh, indent=2, default=str)
+            os.replace(tmp, _ledger_path(warehouse, table))
+        removed_dirs = []
+        data_dir = _data_dir(warehouse, table)
+        manifested = {f"snap-{sid}" for sid in ids}
+        if os.path.isdir(data_dir):
+            for d in os.listdir(data_dir):
+                full = os.path.join(data_dir, d)
+                if not (d.startswith("snap-") and d not in referenced
+                        and os.path.isdir(full)):
+                    continue
+                if d not in manifested:
+                    # UNMANIFESTED dir: either a crashed write's orphan or a
+                    # concurrent writer's claimed, in-flight dir (the exact
+                    # pair write_table's claim design names: streaming sink +
+                    # maintenance job). Age is the only distinguisher — GC
+                    # only dirs untouched for `orphan_grace_s` (Iceberg's
+                    # remove_orphan_files older_than convention); a live
+                    # write keeps its dir mtime fresh as tasks commit files.
+                    try:
+                        age = time.time() - os.path.getmtime(full)
+                    except OSError:
+                        continue
+                    if age < orphan_grace_s:
+                        continue
+                shutil.rmtree(full)
+                # the writer's claim marker goes with its dir (the id
+                # stays burned: snap ids are allocated past the max
+                # existing manifest, so no reuse either way)
                 try:
-                    age = time.time() - os.path.getmtime(full)
-                except OSError:
-                    continue
-                if age < orphan_grace_s:
-                    continue
-            shutil.rmtree(full)
-            # the writer's claim marker goes with its dir (the id
-            # stays burned: snap ids are allocated past the max
-            # existing manifest, so no reuse either way)
-            try:
-                os.remove(full + ".claim")
-            except FileNotFoundError:
-                pass
-            removed_dirs.append(d)
-    for sid in drop:
-        os.remove(_snap_meta_path(warehouse, table, sid))
-    return {"table": table, "expired_snapshots": drop,
-            "kept_snapshots": keep, "removed_dirs": sorted(removed_dirs),
-            "ledgered_batches": [
-                e["params"].get("batch_tag")
-                or (f"pages_snapshot={e['params']['pages_snapshot']}"
-                    if e["params"].get("pages_snapshot") is not None
-                    else f"index_params@{e['snapshot_id']}")
-                for e in ledgered]}
+                    os.remove(full + ".claim")
+                except FileNotFoundError:
+                    pass
+                removed_dirs.append(d)
+        for sid in drop:
+            os.remove(_snap_meta_path(warehouse, table, sid))
+        return {"table": table, "expired_snapshots": drop,
+                "kept_snapshots": keep, "removed_dirs": sorted(removed_dirs),
+                "ledgered_batches": [
+                    e["params"].get("batch_tag")
+                    or (f"pages_snapshot={e['params']['pages_snapshot']}"
+                        if e["params"].get("pages_snapshot") is not None
+                        else f"index_params@{e['snapshot_id']}")
+                    for e in ledgered]}
 
 
 def table_complete(warehouse: str, table: str) -> bool:
