@@ -9,8 +9,22 @@ from thesis_ner_co_tri_training_spark.functions.simfn import (
 from thesis_ner_co_tri_training_spark.functions.textnorm import strip_punct, strip_punct_col
 
 TAGS = st.sampled_from(["O", "B-PER", "I-PER", "B-GPE", "B-ORG", "B-DATE"])
+# Stable-codepoint text: full category coverage without Unicode VERSION
+# skew (Python 3.11 = Unicode 14 tables, Java 17 = Unicode 13; a
+# codepoint assigned in 14, e.g. U+16A70 Tangsa, is \w to Python but
+# Cn/stripped to the JVM — see strip_punct_col's KNOWN LIMIT). The
+# curated alphabet keeps every semantic class the parity tests probe:
+# ASCII, punctuation, digits incl. superscripts/fractions (No), letters
+# across scripts, combining marks, separators incl. U+001C-1F, emoji.
 TEXT = st.text(
-    alphabet=st.characters(blacklist_categories=("Cs",)),  # no surrogates
+    alphabet=st.one_of(
+        st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        st.sampled_from(list(
+            "äöüßéèñçабвгдαβγδ中文日本語한국ابتثəʔ"
+            "²³¹¼½¾№™©€$%&#@_-.,!?;:'\"()[]{}<>|\\/~`^*+="
+            "́̈一\U0001F600\U0001F4A9"
+            "\x1c\x1d\x1e\x1f\t\n\r    ")),
+    ),
     max_size=80,
 )
 
@@ -193,3 +207,70 @@ def test_textstats_corpus(spark):
         # non-sketched columns identical to the exact twin
         assert ap[lang]["n_docs"] == ex[lang]["n_docs"]
         assert ap[lang]["n_tokens"] == ex[lang]["n_tokens"]
+
+
+# Tag-soup generator for the rename chain: concatenations of key
+# fragments, full keys, produced values and separators — exactly the
+# inputs where a sequential replace chain diverges from the reference's
+# single-pass alternation (PERSONCENT, LANGUAGEVENT, ...).
+_TAG_SOUP = st.lists(
+    st.one_of(
+        st.sampled_from(["EVENT", "LANGUAGE", "MONEY", "NORP", "PERSON",
+                         "PERCENT", "QUANTITY", "WORK_OF_ART",
+                         "PER", "PERC", "EVT", "ART", "CENT", "SON",
+                         "VENT", "_OF_", "B-", "I-", " ", "-", "X"]),
+        st.text(alphabet="ABCEGLMNOPQRSTUVWY_- ", max_size=4),
+    ),
+    max_size=8,
+).map("".join)
+
+
+@given(st.lists(_TAG_SOUP, min_size=1, max_size=40))
+@SET
+def test_rename_tags_jvm_python_parity(spark, texts):
+    """rename_tags_col (mark-then-map single pass) == rename_tags (the
+    reference alternation oracle) on adversarial concatenations."""
+    from thesis_ner_co_tri_training_spark.functions.simfn import (
+        rename_tags, rename_tags_col)
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r["s"] for r in
+           df.select(rename_tags_col("t").alias("s")).collect()]
+    assert got == [rename_tags(t) for t in texts]
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=12)
+        .map(lambda ws: " ".join(ws)),
+        min_size=2, max_size=12,
+    ),
+    st.sampled_from([0.3, 0.34, 0.5, 0.55, 0.7, 0.75, 0.8, 0.95]),
+)
+@SET
+def test_set_similarity_join_lossless_vs_brute_force(spark, texts, thr):
+    """Prefix filtering must be LOSSLESS at every threshold, including
+    the exact-product thresholds where a float ceil(t*n) rounds the
+    prefix short (0.55*100 -> 55.000...007). Brute-force oracle with
+    exact Fraction comparison."""
+    from fractions import Fraction
+
+    from thesis_ner_co_tri_training_spark.operators.dedup import (
+        set_similarity_join)
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {(r["a"], r["b"]): (r["inter"], r["uni"])
+           for r in set_similarity_join(df, threshold=thr).collect()}
+
+    sets = {i: set(t.split()) for i, t in enumerate(texts) if t.split()}
+    want = {}
+    t_frac = Fraction(str(thr))
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                uni = len(sets[a] | sets[b])
+                if Fraction(inter, uni) >= t_frac:
+                    want[(a, b)] = (inter, uni)
+    assert got == want

@@ -274,6 +274,15 @@ def strip_punct_col(col):
         does not treat as word chars.
       - Python \\s = Unicode White_Space PLUS the information separators
         U+001C-001F, which Java's \\s (White_Space property) excludes.
+
+    KNOWN LIMIT — Unicode VERSION skew, not category spelling: Python
+    3.11 ships Unicode 14 tables, Java 17 ships Unicode 13, so a
+    codepoint ASSIGNED in 14 (e.g. U+16A70 TANGSA LETTER OZ) is a word
+    char to Python but unassigned (Cn -> stripped) to the JVM. No JVM
+    regex can close this; the hot path uses the pure-Python
+    strip_punct inside the Arrow workers, so engine semantics follow
+    Python — this twin is exact for every codepoint the JVM's Unicode
+    version knows. The property test generates from stable codepoints.
     """
     return F.regexp_replace(
         col, "(?U)[^\\p{L}\\p{Nd}\\p{Nl}\\p{No}_\\s\\x1c-\\x1f]", ""
