@@ -280,15 +280,28 @@ def _q26_sql() -> str:
 
 
 def q07_tag_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F5: ordered OntoNotes->ISW rename chain over mention tags."""
+    """F5: OntoNotes->ISW SINGLE-PASS alternation rename over mention
+    tags (co_training.py's multiple_replace semantics).
+
+    The mention-derived tags are all clean whole names, which cannot
+    tell single-pass from a sequential replace chain apart — so
+    adversarial composites ride along (PERSONCENT re-forms PERCENT
+    under a chain; single-pass must leave PERCENT): the oracle uses the
+    same mark-then-map two-phase in SQL, so the semantics are specified
+    independently on both engines, not copied."""
     from thesis_ner_co_tri_training_spark.functions.simfn import rename_tags_col
 
     m = _mentions(spark, sf_dir)
     long_tag = F.col("tag")
     for short, long in _LONG_OF.items():
         long_tag = F.when(F.col("tag") == short, F.lit(long)).otherwise(long_tag)
+    adversarial = spark.createDataFrame(
+        [("PERSONCENT",), ("LANGUAGEVENT",), ("PERCENTPERSON",),
+         ("WORK_OF_ARTWORK_OF_ART",), ("EVENTEVENT",), ("XPERSONX",)],
+        "long_tag string")
     return (
-        m.withColumn("long_tag", long_tag)
+        m.withColumn("long_tag", long_tag).select("long_tag")
+        .unionByName(adversarial)
         .withColumn("renamed", rename_tags_col("long_tag"))
         .groupBy("long_tag", "renamed")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -394,11 +407,25 @@ def q12_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q13_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID: argmax stopword ratio (und when all zero)."""
+    """Heuristic language ID: argmax stopword ratio (und when all zero).
+
+    The sf corpus is en/und-only, leaving the de/es/fr branches and the
+    tie rule dead — crafted rows ride along: pure-de, pure-es, pure-fr
+    texts, an es/fr tie (tokens in BOTH lists; ties resolve to the
+    lexicographically larger code, fr — the struct-max rule equals the
+    oracle's fr>=es>=en>=de chain because fr>es>en>de alphabetically),
+    and an all-zero und row."""
     from thesis_ner_co_tri_training_spark.operators.textstats import language_id
 
-    docs = _t(spark, sf_dir, "documents")
-    return language_id(docs).select(
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    crafted = spark.createDataFrame(
+        [(2_000_001, "der die das und ist nicht mit ein zu den"),
+         (2_000_002, "el la que y en un una es los se del las por con"),
+         (2_000_003, "le les des est et dans pour pas du qui"),
+         (2_000_004, "la de que un"),
+         (2_000_005, "xyzzy plugh foobar")],
+        "doc_id long, text string")
+    return language_id(docs.unionByName(crafted)).select(
         "doc_id", "sw_en", "sw_de", "sw_es", "sw_fr", "lang_pred"
     )
 
@@ -562,12 +589,22 @@ def q24_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q25_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact duplicate grouping by normalized-text hash (may be empty —
-    both engines must agree on that too)."""
+    """Exact duplicate grouping by normalized-text hash.
+
+    The raw sf corpus has no byte-identical dup pairs, which left the
+    operator oracle-checked only on the empty result — so the fixture
+    plants them: every 7th doc gains a whitespace-perturbed mirror
+    (leading spaces + trailing newline, ids offset by 1e6). Non-empty
+    groups now pin the whole path INCLUDING the trim+collapse
+    normalization (the mirror is a dup only because NORM trims)."""
     from thesis_ner_co_tri_training_spark.operators.dedup import exact_duplicates
 
     docs = _t(spark, sf_dir, "documents")
-    return exact_duplicates(docs).select("content_hash", "n_docs")
+    mirror = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("  "), F.col("text"), F.lit("\n")).alias("text"))
+    corpus = docs.select("doc_id", "text").unionByName(mirror)
+    return exact_duplicates(corpus).select("content_hash", "n_docs")
 
 
 def q26_error_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -610,10 +647,26 @@ def q27_extend_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q28_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide duplicated-paragraph removal (CCNet-style), rebuilt
-    text in original paragraph order."""
+    text in original paragraph order.
+
+    The raw sf corpus shares no paragraphs across docs (removal was a
+    dead path — both engines agreed on the identity transform), so the
+    fixture plants boilerplate: even docs get a shared header
+    paragraph, docs = 5 mod 10 get a CASE/WHITESPACE variant of it —
+    normalization must merge the variants and the rebuild must drop
+    exactly those paragraphs while preserving original order."""
     from thesis_ner_co_tri_training_spark.operators.dedup import paragraph_dedup
 
-    docs = _t(spark, sf_dir, "documents")
+    base = _t(spark, sf_dir, "documents")
+    docs = base.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit("Impressum und Datenschutz\n"),
+                        F.col("text")))
+        .when(F.col("doc_id") % 5 == 0,
+              F.concat(F.lit("IMPRESSUM   UND  DATENSCHUTZ\n"),
+                       F.col("text")))
+        .otherwise(F.col("text")).alias("text"))
     return paragraph_dedup(docs).select(
         "doc_id", "text",
         F.col("n_paragraphs").cast("long").alias("n_paragraphs"),
@@ -655,7 +708,16 @@ def q35_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (36 scans / 45 shuffles in the audited plan). Materializing the
     # distinct edge set once is also the 100-TB shape — a k-hop query
     # runs against a materialized edge table, not the extraction DAG.
-    edges = t.select("subj", "obj").distinct().localCheckpoint(eager=True)
+    # The deterministic length-mod sparsifier keeps the graph from
+    # being hub-complete at sf0.01: without it every node sat 1 hop
+    # from the busiest entity and the hop-2 leg (min-hop anti-join +
+    # fan-in count) was DEAD in the contract — now 2 hop-2 rows with
+    # n_paths > 1 exercise it.
+    edges = (
+        t.select("subj", "obj")
+        .filter((F.length("subj") + 2 * F.length("obj")) % 3 != 1)
+        .distinct().localCheckpoint(eager=True)
+    )
     deg = (
         edges.select(F.col("subj").alias("node"))
         .unionAll(edges.select(F.col("obj").alias("node")))
@@ -791,7 +853,12 @@ PII_ROWS = [
     (3, "no pii here at all"),
     (4, "two mails: first@ex.org second@sub.ex.co.uk done"),
     (5, "edge 999.999.999.999 still ipv4-shaped; 1.2.3.4."),
-    (6, "phone-ish 2020-01-02 03:04:05 timestamps stay intact"),
+    # NOTE: the date-time digit run DOES match PII_PHONE ('2020-01-02
+    # 03' is phone-shaped) — accepted over-redaction: a PII scrub
+    # favors recall, and a timestamp redacted as <PHONE> is a safe
+    # false positive, never a leak. The row pins that both engines
+    # over-redact IDENTICALLY.
+    (6, "phone-ish 2020-01-02 03:04:05 timestamps redact identically"),
     (7, "contact admin@example.com at 192.168.0.1 or 0800 123 45 67"),
     (8, "trailing dot mail x@y.io."),
     # dotted quad long enough to match the phone shape: must be <IP>,
@@ -1233,8 +1300,12 @@ def q58_bm25_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (score DESC, term ASC) tie order. Contract uses
     idf="rational" — the ln-free monotone idf — so every hashed double
     is a +,-,*,/ composition of identical integer operands on both
-    engines (ln is not correctly-rounded-guaranteed across libms; the
-    engine default keeps ln, rank-identical by monotonicity)."""
+    engines (ln is not correctly-rounded-guaranteed across libms). The
+    engine default keeps ln; note the two idfs are monotone in df but
+    NOT rank-equivalent across terms (idf multiplies a tf factor, and a
+    monotone transform of one factor does not preserve cross-term
+    product order — measured at sf0.01 the top-3 sets differ), so the
+    ln path carries its own pure-Python value oracle in test_bm25."""
     from thesis_ner_co_tri_training_spark.operators.textstats import (
         bm25_term_scores, top_terms_per_doc)
 
@@ -2670,14 +2741,36 @@ def oracle_sql() -> dict[str, str]:
                                 WHEN 'LOC' THEN 'LOC' WHEN 'MISC' THEN 'MONEY'
                                 ELSE tag END AS long_tag
                 FROM m
+                UNION ALL
+                SELECT * FROM (VALUES ('PERSONCENT'), ('LANGUAGEVENT'),
+                    ('PERCENTPERSON'), ('WORK_OF_ARTWORK_OF_ART'),
+                    ('EVENTEVENT'), ('XPERSONX')) v(long_tag)
+            ),
+            -- single-pass alternation (the reference's multiple_replace):
+            -- one regex pass marks every matched key with a sentinel the
+            -- key set cannot contain, then literal replaces map the
+            -- marked spans. A bare sequential replace chain is NOT
+            -- equivalent (PERSONCENT: chain -> PERC, single-pass -> PERCENT).
+            marked AS (
+                SELECT long_tag,
+                       regexp_replace(long_tag,
+                           '(WORK_OF_ART|LANGUAGE|QUANTITY|PERCENT|PERSON|EVENT|MONEY|NORP)',
+                           chr(167) || '\\1' || chr(167), 'g') AS mk
+                FROM longs
             )
             SELECT long_tag,
                    replace(replace(replace(replace(replace(replace(replace(replace(
-                       long_tag, 'EVENT','EVT'), 'LANGUAGE','LAN'), 'MONEY','MON'),
-                       'NORP','NRP'), 'PERSON','PER'), 'PERCENT','PERC'),
-                       'QUANTITY','QUAN'), 'WORK_OF_ART','ART') AS renamed,
+                       mk,
+                       chr(167)||'EVENT'||chr(167),'EVT'),
+                       chr(167)||'LANGUAGE'||chr(167),'LAN'),
+                       chr(167)||'MONEY'||chr(167),'MON'),
+                       chr(167)||'NORP'||chr(167),'NRP'),
+                       chr(167)||'PERSON'||chr(167),'PER'),
+                       chr(167)||'PERCENT'||chr(167),'PERC'),
+                       chr(167)||'QUANTITY'||chr(167),'QUAN'),
+                       chr(167)||'WORK_OF_ART'||chr(167),'ART') AS renamed,
                    count(*) AS n
-            FROM longs GROUP BY long_tag ORDER BY long_tag
+            FROM marked GROUP BY long_tag, mk ORDER BY long_tag
         """,
         "q08_teachable": """
             WITH d AS (
@@ -2746,7 +2839,16 @@ def oracle_sql() -> dict[str, str]:
                               / len(list_distinct(a.g || b.g)) END, 4) AS jaccard
             FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
         """,
-        "q13_lang_id": lang_base + """
+        "q13_lang_id": lang_base.replace(
+            "FROM documents",
+            """FROM (SELECT doc_id, text FROM documents
+                UNION ALL SELECT * FROM (VALUES
+                    (2000001, 'der die das und ist nicht mit ein zu den'),
+                    (2000002, 'el la que y en un una es los se del las por con'),
+                    (2000003, 'le les des est et dans pour pas du qui'),
+                    (2000004, 'la de que un'),
+                    (2000005, 'xyzzy plugh foobar')) v(doc_id, text))
+            """, 1) + """
             SELECT doc_id, sw_en, sw_de, sw_es, sw_fr,
                    CASE WHEN greatest(sw_en, sw_de, sw_es, sw_fr) <= 0.0 THEN 'und'
                         WHEN sw_fr >= sw_es AND sw_fr >= sw_en AND sw_fr >= sw_de THEN 'fr'
@@ -2855,9 +2957,15 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 3
         """,
         "q25_exact_dedup": r"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, '  ' || text || chr(10)
+                FROM documents WHERE doc_id % 7 = 0
+            )
             SELECT md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
                    count(*) AS n_docs
-            FROM documents
+            FROM corpus
             GROUP BY 1 HAVING count(*) > 1
         """,
         "q26_error_rates": _q26_sql(),
@@ -2868,10 +2976,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_custkey % 2 = 0 AND c_custkey % 3 <> 0
         """,
         "q28_paragraph_dedup": r"""
-            WITH paras AS (
+            WITH documents_b AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 0
+                            THEN 'Impressum und Datenschutz' || chr(10) || text
+                            WHEN doc_id % 5 = 0
+                            THEN 'IMPRESSUM   UND  DATENSCHUTZ' || chr(10) || text
+                            ELSE text END AS text
+                FROM documents
+            ),
+            paras AS (
                 SELECT d.doc_id, g.i - 1 AS p_pos,
                        list_extract(string_split(d.text, chr(10)), g.i) AS para
-                FROM documents d,
+                FROM documents_b d,
                      LATERAL (SELECT unnest(generate_series(1,
                          len(string_split(d.text, chr(10))))) AS i) g
             ),
@@ -3073,7 +3190,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q35_two_hop": f"""
             WITH t AS ({_Q22_SQL}),
-            e AS (SELECT DISTINCT subj, obj FROM t),
+            -- length-mod sparsifier: keeps hop-2 non-empty (see query)
+            e AS (SELECT DISTINCT subj, obj FROM t
+                  WHERE (length(subj) + 2*length(obj)) % 3 <> 1),
             deg AS (
                 SELECT node, count(*) AS degree FROM (
                     SELECT subj AS node FROM e

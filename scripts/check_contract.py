@@ -55,7 +55,7 @@ def main(sf_dir: str) -> int:
             continue
         if name not in oracles:
             print(f"{name}: rows={len(sdf)} (rows-only, no oracle)")
-            if len(sdf) == 0 and name not in ("q25_exact_dedup",):
+            if len(sdf) == 0:
                 failures.append((name, "0 rows in rows-only query"))
             continue
         try:

@@ -591,3 +591,42 @@ def test_minhash_bands_narrow_identical(spark):
             df, num_hashes=16, bands=4, hasher=hasher).collect()}
         assert a == b and a
         assert not any(r[0] in (4, 5) for r in a)
+
+
+def test_max_bucket_guard_binds(spark):
+    """The LSH skew guard must actually FIRE somewhere in the suite: a
+    boilerplate bucket larger than max_bucket produces NO candidate
+    pairs (non-discriminative, |B|^2 blow-up), while ordinary near-dups
+    in the same corpus still match. Also pins the guard's direction in
+    the index path (INDEX-side buckets only — the batch side rides)."""
+    from thesis_ner_co_tri_training_spark.operators.dedup import (
+        dedup_against_index, filter_index_buckets, minhash_bands,
+        minhash_lsh_pairs)
+
+    boiler = [(i, "identisches impressum boilerplate auf jeder seite "
+                  "dieser domain immer gleich") for i in range(80)]
+    pair = [(1000, BASE), (1001, NEAR)]
+    docs = spark.createDataFrame(boiler + pair, "doc_id long, text string")
+
+    pairs = {(r["a"], r["b"])
+             for r in minhash_lsh_pairs(docs, max_bucket=64).collect()}
+    assert (1000, 1001) in pairs
+    assert not any(a < 80 and b < 80 for a, b in pairs)  # guard fired
+    # raising the cap re-admits the boilerplate bucket: the guard is
+    # the only thing suppressing those pairs
+    pairs_hi = {(r["a"], r["b"])
+                for r in minhash_lsh_pairs(docs, max_bucket=256).collect()}
+    assert any(a < 80 and b < 80 for a, b in pairs_hi)
+
+    # index path: an oversized INDEX bucket is dropped by
+    # filter_index_buckets, so a new batch doc matching only the
+    # boilerplate finds nothing, while a real near-dup still matches
+    idx = minhash_bands(docs, id_col="doc_id")
+    assert filter_index_buckets(idx, 64).count() < idx.count()
+    new = spark.createDataFrame(
+        [(2000, boiler[0][1]), (2001, BASE)], "doc_id long, text string")
+    got = {(r["a"], r["b"]) for r in dedup_against_index(
+        new, idx, docs, id_col="doc_id", max_bucket=64,
+        threshold=0.8).collect()}
+    assert all(a != 2000 for a, b in got)      # boilerplate gated
+    assert (2001, 1000) in got                 # real dup still found

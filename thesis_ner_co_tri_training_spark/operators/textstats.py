@@ -339,12 +339,17 @@ def bm25_term_scores(docs: DataFrame, id_col: str = "doc_id",
     extractor; sum over query terms = a search scorer).
 
     idf="ln" (the engine default): idf = ln(1 + (N - df + 0.5)/(df + 0.5))
-    — the standard non-negative BM25+ idf. idf="rational" drops the ln
-    (a strictly monotone transform, so every ranking/top-k downstream is
-    unchanged) which makes the score a pure +,-,*,/ composition of
-    integer-derived IEEE doubles — bit-exact across engines, hence the
-    contract/oracle path (q58); ln is NOT correctly-rounded-guaranteed
-    across libms, so it stays out of hashed columns (repo float rule).
+    — the standard non-negative BM25+ idf. idf="rational" drops the ln,
+    which makes the score a pure +,-,*,/ composition of integer-derived
+    IEEE doubles — bit-exact across engines, hence the contract/oracle
+    path (q58); ln is NOT correctly-rounded-guaranteed across libms, so
+    it stays out of hashed columns (repo float rule). NOTE the two idfs
+    are each monotone IN df but NOT rank-equivalent ACROSS terms: idf
+    multiplies the tf factor, and a monotone transform of one factor
+    does not preserve product order (measured: top-3 keyword sets
+    differ between the idfs at sf0.01) — the ln path is therefore
+    value-oracled directly against pure Python (test_bm25), not vouched
+    for by the rational contract entry.
 
     Shuffle shape at 100 TB: explode -> ONE partial-aggregated shuffle
     on (doc, term) for tf; term-level df is a second partial agg of that
