@@ -65,13 +65,17 @@ def main() -> int:
         n_ext = spark.read.parquet(args.out).count()
     else:
         n_ext = ext.count()
+    # stop the clock BEFORE the bookkeeping recount: unlabeled has no
+    # cache, so .count() re-runs the whole explode lineage and would
+    # otherwise inflate the reported round time
+    elapsed = round(time.time() - t0, 2)
     print(json.dumps({
         "pages": args.pages,
         "sentences": unlabeled.count(),
         "pools": args.k, "u": args.u, "top_n": args.top_n,
         "cos_threshold": args.cos_threshold,
         "extension_rows": n_ext,
-        "seconds": round(time.time() - t0, 2),
+        "seconds": elapsed,
     }))
     spark.stop()
     return 0

@@ -52,7 +52,8 @@ def main() -> int:
     ).cache()
     n_sents = scored.count()
 
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    if os.path.dirname(args.out):  # bare filename: dirname '' would raise
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
     results = []
     with open(args.out, "w") as fh:
         for u, top_n, cos_thr in itertools.product(U_GRID, TOP_N_GRID, COS_GRID):

@@ -38,6 +38,12 @@ def main() -> int:
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
+    if args.expire_keep is not None and args.expire_keep < 1:
+        # fail BEFORE any mutation: --compact would otherwise publish a
+        # snapshot and then expire_snapshots' ValueError would abort the
+        # run half-applied with a raw traceback instead of the job's
+        # one-JSON-line contract
+        ap.error("--expire-keep must be >= 1")
 
     from thesis_ner_co_tri_training_spark.session import get_spark
     from thesis_ner_co_tri_training_spark.sources import catalog

@@ -114,3 +114,16 @@ def test_bytes_and_mb_units(monkeypatch):
     spark2 = _FakeSpark(100 * 2**20)
     sess._warn_if_heap_undersized(spark2)
     assert len(spark2.warned) == 1
+
+
+def test_digit_only_spec_is_mib():
+    """A suffix-less SPARK_DRIVER_MEM is MiB (Spark's own reading of
+    spark.driver.memory), NOT bytes — parsing '8192' as 8192 bytes
+    silently suppressed the warning on the exact 1g-default footgun
+    this probe exists for."""
+    fake = _FakeSpark(heap_bytes=1024**3)  # the spark-submit 1g default
+    sess._warn_if_heap_undersized(fake, want="8192")  # 8192 MiB = 8g
+    assert fake.warned, "digit-only 8192 (MiB) vs 1g heap must warn"
+    fake2 = _FakeSpark(heap_bytes=9 * 1024**3)
+    sess._warn_if_heap_undersized(fake2, want="8192")
+    assert not fake2.warned

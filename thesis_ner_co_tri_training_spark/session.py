@@ -102,8 +102,11 @@ def _warn_if_heap_undersized(spark: SparkSession,
     want = (want or os.environ.get("SPARK_DRIVER_MEM", "8g")).strip().lower()
     units = {"k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}
     try:
+        # a digit-only spec is MiB, matching how Spark itself reads
+        # spark.driver.memory (bytesConf(ByteUnit.MiB)) — parsing it as
+        # bytes would silently suppress the warning for e.g. "8192"
         want_bytes = (float(want[:-1]) * units[want[-1]]
-                      if want[-1] in units else float(want))
+                      if want[-1] in units else float(want) * 2**20)
     except ValueError:
         return
     try:
