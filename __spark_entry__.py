@@ -2180,6 +2180,127 @@ ORDER BY key
 """
 
 
+_Q72_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+    FROM documents WHERE doc_id % 5 = 0
+), base AS (
+    SELECT doc_id, t, len(t) - 3 + 1 AS m FROM toks WHERE len(t) >= 3
+), h AS (
+    SELECT doc_id, g.g AS pos,
+           ('0x' || substr(md5(array_to_string(
+                list_slice(t, g.g, g.g + 2), ' ')), 1, 15))::BIGINT AS hash
+    FROM base, unnest(range(1, m + 1)) AS g(g)
+), ws AS (
+    SELECT doc_id, p.p AS p
+    FROM base, unnest(range(1, greatest(1, m - 4 + 1) + 1)) AS p(p)
+), win AS (
+    SELECT w.doc_id, w.p, h.pos, h.hash
+    FROM ws w JOIN h ON h.doc_id = w.doc_id
+                    AND h.pos >= w.p AND h.pos < w.p + 4
+), mins AS (
+    SELECT doc_id, p, min(hash) AS mn FROM win GROUP BY doc_id, p
+), pick AS (
+    SELECT win.doc_id, mins.p, max(win.pos) AS pos, mins.mn AS fp
+    FROM win JOIN mins ON win.doc_id = mins.doc_id AND win.p = mins.p
+                      AND win.hash = mins.mn
+    GROUP BY win.doc_id, mins.p, mins.mn
+)
+SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp
+FROM pick ORDER BY doc_id, pos
+"""
+
+
+def q72_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (textstats.winnow_fingerprints; Schleimer
+    et al. 2003): per-document local-minimum sketch over md5_long-hashed
+    3-token shingles with window w=4, rightmost-min tie rule — the
+    MOSS-style shared-passage detector, guaranteed to catch any overlap
+    of >= w+k-1 tokens while storing ~2/(w+1) of the grams. Every step
+    (NORM tokens, shingle hash, window argmin) is engine-portable, so
+    fully DuckDB-oracled. Docs subset to doc_id % 5 == 0 to keep the
+    contract compare light."""
+    from thesis_ner_co_tri_training_spark.operators.textstats import (
+        winnow_fingerprints)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return winnow_fingerprints(docs, k=3, w=4).orderBy("doc_id", "pos")
+
+
+_Q73_SQL = """
+WITH RECURSIVE ids AS (SELECT doc_id AS i FROM documents),
+e AS (
+    SELECT lpad(CAST(a.i AS VARCHAR), 8, '0') AS a,
+           lpad(CAST(a.i + 1 AS VARCHAR), 8, '0') AS b
+    FROM ids a JOIN ids b2 ON b2.i = a.i + 1 WHERE a.i % 7 <> 6
+    UNION
+    SELECT lpad(CAST(a.i + 4 AS VARCHAR), 8, '0'),
+           lpad(CAST(a.i AS VARCHAR), 8, '0')
+    FROM ids a JOIN ids b2 ON b2.i = a.i + 4 WHERE a.i % 9 = 0
+    UNION
+    SELECT lpad(CAST(a.i AS VARCHAR), 8, '0'),
+           lpad(CAST(a.i + 13 AS VARCHAR), 8, '0')
+    FROM ids a JOIN ids b2 ON b2.i = a.i + 13 WHERE a.i % 50 = 0
+),
+n AS (SELECT a AS x FROM e UNION SELECT b FROM e),
+r(s, d) AS (
+    SELECT a, b FROM e
+    UNION
+    SELECT r.s, e.b FROM r JOIN e ON e.a = r.d
+),
+reach AS (SELECT s, d FROM r UNION SELECT x, x FROM n)
+SELECT p.s AS node, min(p.d) AS scc_id
+FROM reach p JOIN reach q ON q.s = p.d AND q.d = p.s
+GROUP BY p.s
+ORDER BY node
+"""
+
+
+def _doc_digraph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DIRECTED doc graph for q73 (SCC): forward chain
+    edges (i -> i+1) except every 7th, back edges (i+4 -> i) for
+    i % 9 == 0 (closing 5-cycles wherever the chain segment between is
+    unbroken — and deliberately NOT closing one where it is), plus far
+    edges (i -> i+13) for i % 50 == 0 (DAG shortcuts that must not
+    merge SCCs). Node ids zero-padded so string order == numeric."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    ids = docs.select(F.col("doc_id").alias("y"))
+    pad = lambda c: F.lpad(c.cast("string"), 8, "0")
+    fwd = (
+        docs.filter(F.col("doc_id") % 7 != 6)
+        .select(F.col("doc_id").alias("x"), (F.col("doc_id") + 1).alias("y"))
+        .join(ids, "y")
+    )
+    back = (
+        docs.filter(F.col("doc_id") % 9 == 0)
+        .select((F.col("doc_id") + 4).alias("x"), F.col("doc_id").alias("y"))
+        .join(ids.withColumnRenamed("y", "x"), "x")
+    )
+    far = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(F.col("doc_id").alias("x"), (F.col("doc_id") + 13).alias("y"))
+        .join(ids, "y")
+    )
+    return fwd.unionByName(back).unionByName(far).select(
+        pad(F.col("x")).alias("subj_id"), pad(F.col("y")).alias("obj_id"))
+
+
+def q73_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (plans/graph.
+    strongly_connected_components — distributed FW-BW-MIN coloring run
+    to exact fixpoint) over the deterministic directed doc graph: back
+    edges close 5-cycles only where the forward chain between is
+    unbroken, so the output mixes real multi-node SCCs with singleton
+    chain nodes. scc_id = min member id. Oracle: DuckDB recursive-CTE
+    mutual reachability."""
+    from thesis_ner_co_tri_training_spark.plans.graph import (
+        strongly_connected_components)
+
+    return strongly_connected_components(
+        _doc_digraph_edges(spark, sf_dir)).orderBy("node")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2253,6 +2374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_hits": q69_hits,
         "q70_novelty": q70_novelty,
         "q71_crawl_budget": q71_crawl_budget,
+        "q72_winnowing": q72_winnowing,
+        "q73_scc": q73_scc,
     }
 
 
@@ -3460,4 +3583,6 @@ def oracle_sql() -> dict[str, str]:
         "q69_hits": _q69_sql(),
         "q70_novelty": _Q70_SQL,
         "q71_crawl_budget": _Q71_SQL,
+        "q72_winnowing": _Q72_SQL,
+        "q73_scc": _Q73_SQL,
     }

@@ -458,3 +458,105 @@ def test_pagerank_float_collapses_duplicate_edges(spark):
                               dst="o").collect()}
     for k in fx:
         assert abs(fx[k] - r_dup[k]) < 1e-6
+
+
+def _tarjan_scc(edges):
+    """Iterative Tarjan replay: node -> min member of its SCC."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    nodes = set()
+    for u, v in edges:
+        if u != v:
+            adj[u].append(v)
+            nodes.update((u, v))
+    index, low, onstack, stack = {}, {}, set(), []
+    sccs, counter = [], [0]
+
+    def strongconnect(root):
+        work = [(root, iter(adj[root]))]
+        index[root] = low[root] = counter[0]; counter[0] += 1
+        stack.append(root); onstack.add(root)
+        while work:
+            u, it = work[-1]
+            advanced = False
+            for v in it:
+                if v not in index:
+                    index[v] = low[v] = counter[0]; counter[0] += 1
+                    stack.append(v); onstack.add(v)
+                    work.append((v, iter(adj[v])))
+                    advanced = True
+                    break
+                elif v in onstack:
+                    low[u] = min(low[u], index[v])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                low[work[-1][0]] = min(low[work[-1][0]], low[u])
+            if low[u] == index[u]:
+                comp = []
+                while True:
+                    w = stack.pop(); onstack.discard(w); comp.append(w)
+                    if w == u:
+                        break
+                sccs.append(comp)
+
+    for n in sorted(nodes):
+        if n not in index:
+            strongconnect(n)
+    return {n: min(c) for c in sccs for n in c}
+
+
+def test_scc_matches_tarjan(spark):
+    """strongly_connected_components == Tarjan on a graph mixing
+    multi-node cycles, chains, a DAG shortcut and a nested 2-cycle."""
+    from thesis_ner_co_tri_training_spark.plans.graph import (
+        strongly_connected_components)
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),          # 3-cycle
+        ("c", "d"), ("d", "e"),                      # chain off it
+        ("e", "f"), ("f", "g"), ("g", "f"),          # 2-cycle downstream
+        ("h", "i"), ("i", "j"), ("j", "k"), ("k", "h"),  # 4-cycle
+        ("a", "h"),                                  # DAG edge between SCCs
+        ("x", "y"),                                  # isolated chain
+        ("z", "z"),                                  # self-loop (dropped)
+    ]
+    df = spark.createDataFrame(edges, "subj_id string, obj_id string")
+    got = {r.node: r.scc_id
+           for r in strongly_connected_components(df).collect()}
+    want = _tarjan_scc(edges)
+    assert got == want
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["f"] == got["g"] == "f"
+    assert got["h"] == got["k"] == "h"
+    assert got["d"] == "d" and got["x"] == "x"
+    assert "z" not in got  # self-loop-only node has no edges after drop
+
+
+def test_scc_random_digraph_matches_tarjan(spark):
+    """Randomized (seeded) sparse digraph vs Tarjan — exercises multi-
+    round peeling where color classes span several SCCs."""
+    import random
+
+    from thesis_ner_co_tri_training_spark.plans.graph import (
+        strongly_connected_components)
+
+    rng = random.Random(427)
+    n = 60
+    edges = [(f"n{rng.randrange(n):02d}", f"n{rng.randrange(n):02d}")
+             for _ in range(150)]
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "subj_id string, obj_id string")
+    got = {r.node: r.scc_id
+           for r in strongly_connected_components(df).collect()}
+    assert got == _tarjan_scc(edges)
+
+
+def test_scc_empty(spark):
+    from thesis_ner_co_tri_training_spark.plans.graph import (
+        strongly_connected_components)
+
+    df = spark.createDataFrame([], "subj_id string, obj_id string")
+    assert strongly_connected_components(df).count() == 0

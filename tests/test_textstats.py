@@ -31,3 +31,81 @@ def test_corpus_frequency_score_replay(spark):
             assert out[i] == (len(g), fs, fs / len(g))
     assert out[3][2] == 1.0                       # all-novel doc
     assert out[1][2] > out[3][2]                  # shares 'the cat sat'
+
+
+def _winnow_replay(text, k=3, w=4):
+    """Pure-Python replay of the winnowing spec (NORM tokens, md5_long
+    gram hashes, rightmost-window-min selection)."""
+    import hashlib
+    import re
+
+    toks = re.sub(r"\s+", " ", text).strip().lower().split(" ")
+    m = len(toks) - k + 1
+    if m < 1:
+        return set()
+    h = [int(hashlib.md5(" ".join(toks[g:g + k]).encode()
+                         ).hexdigest()[:15], 16) for g in range(m)]
+    sel = set()
+    for p in range(max(1, m - w + 1)):
+        win = h[p:p + w]
+        mn = min(win)
+        pos = p + max(i for i, v in enumerate(win) if v == mn)
+        sel.add((pos + 1, mn))
+    return sel
+
+
+def test_winnowing_replay(spark):
+    """winnow_fingerprints == the pure-Python spec replay, including the
+    rightmost tie rule and sub-window documents."""
+    from thesis_ner_co_tri_training_spark.operators.textstats import (
+        winnow_fingerprints)
+
+    rows = [
+        (1, "the cat sat on the mat and the cat sat on the mat again"),
+        (2, "  Mixed   CASE\twhitespace\n normalization test here ok "),
+        (3, "a b c"),              # exactly k tokens -> one gram, one pick
+        (4, "a b c d"),            # m=2 < w -> one whole-doc window
+        (5, "x y"),                # < k tokens -> no rows
+        (6, "t t t t t t t t t"),  # all-equal hashes -> tie rule everywhere
+        (7, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    for i, t in rows:
+        assert got.get(i, set()) == _winnow_replay(t), f"doc {i}"
+    assert 5 not in got and 7 not in got
+    # all-equal hashes: rightmost-min of every window; distinct set is
+    # one pick per window position
+    assert {p for p, _ in got[6]} == {4, 5, 6, 7}
+
+
+def test_winnowing_shared_passage_guarantee(spark):
+    """The winnowing guarantee: any shared run of >= w + k - 1 tokens
+    yields at least one shared fingerprint (the MOSS detection bound)."""
+    from thesis_ner_co_tri_training_spark.operators.textstats import (
+        winnow_fingerprints)
+
+    passage = "quick brown foxes jump over lazy sleeping dogs tonight"
+    rows = [(1, "alpha beta gamma " + passage + " delta epsilon"),
+            (2, "one two three four five " + passage + " six seven")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {}
+    for r in winnow_fingerprints(df, k=3, w=4).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    shared = fps[1] & fps[2]
+    assert shared, "shared 9-token passage must produce a shared fingerprint"
+
+
+def test_winnowing_param_guard(spark):
+    import pytest
+
+    from thesis_ner_co_tri_training_spark.operators.textstats import (
+        winnow_fingerprints)
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        winnow_fingerprints(df, k=0)
+    with pytest.raises(ValueError):
+        winnow_fingerprints(df, w=0)

@@ -563,3 +563,82 @@ def corpus_frequency_score(df: DataFrame, id_col: str = "doc_id",
             .alias("avg_freq"),
         )
     )
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3,
+                        w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003) — the position-aware local-minimum sketch that powers
+    MOSS-style partial-overlap detection. Where minhash answers "are
+    these documents near-identical overall?", winnowing answers "do
+    these documents SHARE A PASSAGE?" with guaranteed detection of any
+    match of at least w+k-1 tokens, at ~2/(w+1) of the gram count
+    stored — the right sketch for quote/boilerplate provenance at
+    corpus scale.
+
+    Spec (the cross-engine contract):
+      * tokens = dedup.NORM words (trim + collapse + lower — shared
+        with the whole dedup family);
+      * gram g (1-based) = the k-token shingle starting at token g,
+        hashed with functions.hashutil.md5_long (engine-portable);
+      * windows start at p = 1 .. max(1, m-w+1) (m = gram count) and
+        cover grams [p, p+w-1] clipped to m — documents with fewer
+        than w grams contribute one whole-document window;
+      * each window selects the RIGHTMOST gram attaining the window
+        minimum hash (robust winnowing's tie rule), and the output is
+        the distinct selected (pos, fp) set per document.
+
+    Output: (id, pos, fp) — 1-based token position and 60-bit BIGINT
+    fingerprint, fully DuckDB-oracled (q72).
+
+    Shape at scale: the hash array, the window scan and the argmin
+    selection are ALL per-row array expressions (transform / slice /
+    array_min / reverse / array_position) — one narrow projection, one
+    explode, zero shuffles and zero Python; cost is O(m*w) comparisons
+    map-side, output ~2m/(w+1) rows per doc. Matching then needs only
+    one groupBy(fp) over the sketch — the same join shape as
+    repeated-span dedup but over a 2/(w+1)-sampled stream.
+    """
+    from .dedup import NORM
+    from ..functions.hashutil import md5_long
+
+    if k < 1 or w < 1:
+        raise ValueError("winnow_fingerprints: k and w must be >= 1")
+    toks = df.select(
+        F.col(id_col), F.split(NORM(F.col(text_col)), " ").alias("__t")
+    )
+    base = (
+        toks.withColumn("__m", F.size("__t") - F.lit(k) + 1)
+        .filter(F.col("__m") >= 1)
+    )
+    # per-gram 60-bit hashes, one array per doc
+    hashes = base.withColumn(
+        "__h",
+        F.transform(
+            F.sequence(F.lit(1), F.col("__m")),
+            lambda g: md5_long(F.array_join(F.slice("__t", g, k), " ")),
+        ),
+    )
+    # one selected (pos, fp) struct per window start; rightmost-min via
+    # array_position over the reversed window slice
+    win = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), F.col("__m") - F.lit(w) + 1)),
+        lambda p: F.struct(
+            (
+                p
+                + F.least(F.lit(w), F.col("__m") - p + 1)
+                - F.array_position(
+                    F.reverse(F.slice("__h", p, w)),
+                    F.array_min(F.slice("__h", p, w)),
+                )
+            ).cast("long").alias("pos"),
+            F.array_min(F.slice("__h", p, w)).alias("fp"),
+        ),
+    )
+    return (
+        hashes.select(F.col(id_col),
+                      F.explode(F.array_distinct(win)).alias("__s"))
+        .select(F.col(id_col), F.col("__s.pos").alias("pos"),
+                F.col("__s.fp").alias("fp"))
+    )

@@ -589,3 +589,133 @@ def hits_fixedpoint(edges: DataFrame, iterations: int = 8,
             h = h.localCheckpoint(eager=True)
             a = a.localCheckpoint(eager=True)
     return h.join(a, "node").select("node", "hub", "authority")
+
+
+def strongly_connected_components(edges: DataFrame, src: str = "subj_id",
+                                  dst: str = "obj_id",
+                                  max_rounds: int = 20,
+                                  max_inner: int = 64,
+                                  checkpoint_every: int = 4) -> DataFrame:
+    """Strongly connected components of the DIRECTED edge list — the
+    directed twin of linking.connected_components. On a KG/link graph
+    SCCs surface mutual-reference clusters (link farms, circular
+    citation rings, template navigation loops) that undirected CC
+    over-merges into one blob.
+
+    Algorithm: the distributed coloring / FW-BW-MIN scheme (Orzan 2004;
+    the Pregel-style SCC used by large-graph systems), driver-loop form:
+
+      1. forward-min coloring to fixpoint: color(u) starts at u and
+         absorbs min(color(v)) over out-edges (u, v) — converges to the
+         MIN node id forward-reachable from u, so color(c) = c exactly
+         for pivot nodes;
+      2. pivot sweep: from every pivot c simultaneously, propagate
+         "c reaches me" along edges RESTRICTED to color class c; a node
+         u with color(u) = c and c ->* u satisfies u ->* c (the color)
+         and c ->* u (the sweep), i.e. u is in SCC(c) — and c is its
+         minimum member, so scc_id = c directly;
+      3. remove every assigned SCC (whole color classes never split an
+         SCC) and repeat on the remaining subgraph.
+
+    Output: (node, scc_id) for every node in the edge list, scc_id =
+    min member id. Exact SCC semantics (run to fixpoint, not a fixed
+    round count), DuckDB-oracled via recursive-CTE mutual reachability
+    (q73). Raises if max_rounds/max_inner stop the loops early.
+
+    Scale: each inner step is ONE node-keyed join + min-aggregate (the
+    pagerank shuffle shape); the sweep joins are keyed the same way and
+    the per-round driver action is a scalar changed/remaining count.
+    Inner iteration count tracks graph diameter, outer rounds the
+    SCC-DAG peeling depth — both small on web-scale graphs relative to
+    the per-round cost. localCheckpoint cadence cuts iterative lineage.
+    """
+    e_all = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull()
+                & (F.col("u") != F.col("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    active_nodes = (
+        e_all.select(F.col("u").alias("node"))
+        .unionByName(e_all.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = e_all
+    assigned = active_nodes.select(
+        "node", F.col("node").alias("scc_id")).limit(0)
+    for _ in range(max_rounds):
+        if active_nodes.limit(1).count() == 0:
+            break
+        # 1. forward-min coloring to fixpoint
+        color = active_nodes.select("node", F.col("node").alias("color"))
+        for i in range(max_inner):
+            absorbed = (
+                e.join(color.withColumnRenamed("node", "v"), "v")
+                .select(F.col("u").alias("node"), "color")
+            )
+            new_color = (
+                color.unionByName(absorbed)
+                .groupBy("node")
+                .agg(F.min("color").alias("color"))
+            )
+            if (i + 1) % checkpoint_every == 0:
+                new_color = new_color.localCheckpoint(eager=True)
+            changed = (
+                new_color.join(color.withColumnRenamed("color", "__old"),
+                               "node")
+                .filter(F.col("color") != F.col("__old"))
+                .limit(1).count()
+            )
+            color = new_color
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                "strongly_connected_components: coloring did not converge "
+                f"within max_inner={max_inner} iterations")
+        color = color.localCheckpoint(eager=True)
+        # 2. pivot sweep: propagate pivot-reaches-me within color classes
+        reached = (
+            color.filter(F.col("node") == F.col("color"))
+            .localCheckpoint(eager=True)
+        )
+        n_reached = reached.count()
+        for i in range(max_inner):
+            step = (
+                reached.withColumnRenamed("node", "u").join(e, "u")
+                .select(F.col("v").alias("node"), "color")
+                .join(color, ["node", "color"])  # stay inside the class
+            )
+            new_reached = reached.unionByName(step).distinct()
+            if (i + 1) % checkpoint_every == 0:
+                new_reached = new_reached.localCheckpoint(eager=True)
+            n_new = new_reached.count()
+            grown = n_new - n_reached
+            reached, n_reached = new_reached, n_new
+            if grown == 0:
+                break
+        else:
+            raise RuntimeError(
+                "strongly_connected_components: pivot sweep did not "
+                f"converge within max_inner={max_inner} iterations")
+        scc = reached.select("node", F.col("color").alias("scc_id"))
+        assigned = scc if assigned is None else assigned.unionByName(scc)
+        assigned = assigned.localCheckpoint(eager=True)
+        # 3. peel: drop assigned nodes and their edges
+        active_nodes = (
+            active_nodes.join(scc.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        e = (
+            e.join(active_nodes.withColumnRenamed("node", "u"), "u")
+            .join(active_nodes.withColumnRenamed("node", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            "strongly_connected_components: peeling did not finish "
+            f"within max_rounds={max_rounds} rounds")
+    return assigned
