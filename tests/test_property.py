@@ -274,3 +274,36 @@ def test_set_similarity_join_lossless_vs_brute_force(spark, texts, thr):
                 if Fraction(inter, uni) >= t_frac:
                     want[(a, b)] = (inter, uni)
     assert got == want
+
+
+# --- winnowing spec properties (pure replay; Spark parity is pinned in
+# test_textstats.test_winnowing_replay and DuckDB parity in q72) ---
+
+_WTOK = st.lists(st.sampled_from(list("abcde")) , min_size=0, max_size=40)
+
+
+@given(_WTOK, st.integers(1, 4), st.integers(1, 5))
+@settings(max_examples=200, deadline=None)
+def test_winnowing_coverage_property(toks, k, w):
+    """The winnowing guarantee, over adversarial tiny-alphabet inputs
+    (repeated grams force the tie rule constantly): every w-window of
+    grams contains a selected position, each selected fp is the true
+    min of some window, and selections sit at gram positions."""
+    from tests.test_textstats import _winnow_replay
+
+    import re
+
+    text = " ".join(toks)
+    sel = _winnow_replay(text, k=k, w=w)
+    # the spec's own tokenization (NORM split — empty text is one
+    # empty-string token, the dedup-family convention)
+    tnorm = re.sub(r"\s+", " ", text).strip().lower().split(" ")
+    m = len(tnorm) - k + 1
+    if m < 1:
+        assert sel == set()
+        return
+    poss = sorted(p for p, _ in sel)
+    assert poss[0] <= w and poss[-1] >= max(1, m - w + 1)
+    for a, b in zip(poss, poss[1:]):
+        assert b - a <= w, "a w-window with no selected fingerprint"
+    assert all(1 <= p <= m for p in poss)
