@@ -37,7 +37,7 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from thesis_ner_co_tri_training_spark.plans.graph import (
-        degree_stats, k_hop, pagerank)
+        degree_stats, k_hop, pagerank, strongly_connected_components)
     from thesis_ner_co_tri_training_spark.session import get_spark
     from thesis_ner_co_tri_training_spark.sources import catalog
 
@@ -74,6 +74,20 @@ def main() -> int:
     kh = k_hop(e, hub, k=args.khop)
     catalog.write_table(kh, args.warehouse, "graph_khop",
                         stage_params={"k": args.khop})
+
+    # Directed SCC: mutual-reference clusters (circular citations, link
+    # rings). On a subj->obj triple graph most components are singletons;
+    # the non-trivial ones are the interesting anomaly signal.
+    scc = strongly_connected_components(e).localCheckpoint(eager=True)
+    catalog.write_table(scc, args.warehouse, "graph_scc",
+                        stage_params={"source": "edges"})
+    scc_sizes = scc.groupBy("scc_id").count()
+    scc_stats = scc_sizes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("count") > 1).cast("long")).alias("nontrivial"),
+        F.max("count").alias("largest"),
+    ).collect()[0]
+
     elapsed = time.time() - t0
     top = pr.orderBy(F.col("rank").desc(), "node").limit(3).collect()
     print(json.dumps({
@@ -83,6 +97,9 @@ def main() -> int:
         "hub": hub_id,
         "khop_reachable": kh.count(),
         "k": args.khop,
+        "scc_components": scc_stats["n"],
+        "scc_nontrivial": int(scc_stats["nontrivial"] or 0),
+        "scc_largest": scc_stats["largest"],
         "top_pagerank": [[r["node"], round(r["rank"], 6)] for r in top],
     }))
     spark.stop()

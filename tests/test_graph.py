@@ -560,3 +560,41 @@ def test_scc_empty(spark):
 
     df = spark.createDataFrame([], "subj_id string, obj_id string")
     assert strongly_connected_components(df).count() == 0
+
+
+def test_scc_descending_chain_trims_fast(spark):
+    """Worst case for pivot peeling (descending-id path: one pivot SCC
+    per coloring round, O(n) expensive rounds without trimming) — the
+    trim step must absorb it. max_rounds=3 proves trimming does the
+    work, not peeling."""
+    from thesis_ner_co_tri_training_spark.plans.graph import (
+        strongly_connected_components)
+
+    n = 40
+    edges = [(f"n{n - i:03d}", f"n{n - i - 1:03d}") for i in range(n - 1)]
+    df = spark.createDataFrame(edges, "subj_id string, obj_id string")
+    got = {r.node: r.scc_id
+           for r in strongly_connected_components(df, max_rounds=3).collect()}
+    assert got == {f"n{i:03d}": f"n{i:03d}" for i in range(1, n + 1)}
+
+
+def test_scc_descending_chain_of_cycles(spark):
+    """Trim-resistant worst case: a descending chain OF 2-cycles (every
+    node keeps in+out edges, so trim removes nothing and peeling pace is
+    one cycle per round) — correctness over many outer rounds."""
+    from thesis_ner_co_tri_training_spark.plans.graph import (
+        strongly_connected_components)
+
+    k = 12  # 12 cycles, descending ids -> 12 peeling rounds
+    edges = []
+    for c in range(k):
+        a, b = f"c{k - c:02d}a", f"c{k - c:02d}b"
+        edges += [(a, b), (b, a)]
+        if c + 1 < k:
+            edges.append((a, f"c{k - c - 1:02d}a"))
+    df = spark.createDataFrame(edges, "subj_id string, obj_id string")
+    got = {r.node: r.scc_id
+           for r in strongly_connected_components(df).collect()}
+    assert got == _tarjan_scc(edges)
+    for c in range(1, k + 1):
+        assert got[f"c{c:02d}b"] == f"c{c:02d}a"

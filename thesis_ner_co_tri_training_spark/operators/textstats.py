@@ -593,10 +593,10 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
     fingerprint, fully DuckDB-oracled (q72).
 
     Shape at scale: the hash array, the window scan and the argmin
-    selection are ALL per-row array expressions (transform / slice /
-    array_min / reverse / array_position) — one narrow projection, one
-    explode, zero shuffles and zero Python; cost is O(m*w) comparisons
-    map-side, output ~2m/(w+1) rows per doc. Matching then needs only
+    selection are ALL per-row array expressions (transform + a single
+    left fold per window — one O(w) pass, no intermediate arrays) —
+    one narrow projection, one explode, zero shuffles and zero Python;
+    cost is O(m*w) comparisons map-side, output ~2m/(w+1) rows per doc. Matching then needs only
     one groupBy(fp) over the sketch — the same join shape as
     repeated-span dedup but over a 2/(w+1)-sampled stream.
     """
@@ -620,21 +620,28 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
             lambda g: md5_long(F.array_join(F.slice("__t", g, k), " ")),
         ),
     )
-    # one selected (pos, fp) struct per window start; rightmost-min via
-    # array_position over the reversed window slice
+    # one selected (pos, fp) struct per window start: a SINGLE left fold
+    # over the window's gram indices with a (pos, fp) accumulator; `<=`
+    # keeps updating on ties, which IS the rightmost-min rule. One pass,
+    # no intermediate arrays (the slice/array_min/reverse/array_position
+    # form scanned and allocated each window three times).
+    _max_long = (1 << 63) - 1
+
+    def _pick(p):
+        return F.aggregate(
+            F.sequence(p, F.least(p + F.lit(w - 1), F.col("__m"))),
+            F.struct(F.lit(0).cast("long").alias("pos"),
+                     F.lit(_max_long).alias("fp")),
+            lambda acc, i: F.when(
+                F.element_at("__h", i) <= acc["fp"],
+                F.struct(i.cast("long").alias("pos"),
+                         F.element_at("__h", i).alias("fp")),
+            ).otherwise(acc),
+        )
+
     win = F.transform(
         F.sequence(F.lit(1), F.greatest(F.lit(1), F.col("__m") - F.lit(w) + 1)),
-        lambda p: F.struct(
-            (
-                p
-                + F.least(F.lit(w), F.col("__m") - p + 1)
-                - F.array_position(
-                    F.reverse(F.slice("__h", p, w)),
-                    F.array_min(F.slice("__h", p, w)),
-                )
-            ).cast("long").alias("pos"),
-            F.array_min(F.slice("__h", p, w)).alias("fp"),
-        ),
+        _pick,
     )
     return (
         hashes.select(F.col(id_col),

@@ -593,7 +593,7 @@ def hits_fixedpoint(edges: DataFrame, iterations: int = 8,
 
 def strongly_connected_components(edges: DataFrame, src: str = "subj_id",
                                   dst: str = "obj_id",
-                                  max_rounds: int = 20,
+                                  max_rounds: int = 100,
                                   max_inner: int = 64,
                                   checkpoint_every: int = 4) -> DataFrame:
     """Strongly connected components of the DIRECTED edge list — the
@@ -617,17 +617,30 @@ def strongly_connected_components(edges: DataFrame, src: str = "subj_id",
       3. remove every assigned SCC (whole color classes never split an
          SCC) and repeat on the remaining subgraph.
 
+    Plus the standard TRIM step (the "FW-BW-Trim" refinement) before
+    each coloring round: a node with no in-edge or no out-edge in the
+    active subgraph cannot sit in a multi-node SCC, so it is assigned
+    scc_id = itself immediately. Trimming strips DAG tails/heads with
+    two cheap anti-joins per pass — without it, a descending-id path of
+    length L costs L full coloring rounds (one pivot SCC assigned per
+    round); with it, the expensive coloring only ever runs on the
+    2-core-ish remainder where every node has both in- and out-edges.
+    A partially-converged trim is safe (it is an optimization, not a
+    correctness step), so the trim loop never raises.
+
     Output: (node, scc_id) for every node in the edge list, scc_id =
     min member id. Exact SCC semantics (run to fixpoint, not a fixed
     round count), DuckDB-oracled via recursive-CTE mutual reachability
-    (q73). Raises if max_rounds/max_inner stop the loops early.
+    (q73). Raises if max_rounds/max_inner stop the color/sweep loops
+    early.
 
     Scale: each inner step is ONE node-keyed join + min-aggregate (the
     pagerank shuffle shape); the sweep joins are keyed the same way and
     the per-round driver action is a scalar changed/remaining count.
     Inner iteration count tracks graph diameter, outer rounds the
-    SCC-DAG peeling depth — both small on web-scale graphs relative to
-    the per-round cost. localCheckpoint cadence cuts iterative lineage.
+    condensation-DAG peeling depth after trimming — both small on
+    web-scale graphs relative to the per-round cost. localCheckpoint
+    cadence cuts iterative lineage.
     """
     e_all = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -646,6 +659,33 @@ def strongly_connected_components(edges: DataFrame, src: str = "subj_id",
     assigned = active_nodes.select(
         "node", F.col("node").alias("scc_id")).limit(0)
     for _ in range(max_rounds):
+        if active_nodes.limit(1).count() == 0:
+            break
+        # 0. trim: no-in-edge or no-out-edge nodes are singleton SCCs
+        for _t in range(max_inner):
+            srcs = e.select(F.col("u").alias("node")).distinct()
+            dsts = e.select(F.col("v").alias("node")).distinct()
+            trivial = (
+                active_nodes.join(srcs, "node", "left_anti")
+                .unionByName(active_nodes.join(dsts, "node", "left_anti"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            if trivial.limit(1).count() == 0:
+                break
+            assigned = assigned.unionByName(
+                trivial.select("node", F.col("node").alias("scc_id"))
+            ).localCheckpoint(eager=True)
+            active_nodes = (
+                active_nodes.join(trivial, "node", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            e = (
+                e.join(active_nodes.withColumnRenamed("node", "u"), "u")
+                .join(active_nodes.withColumnRenamed("node", "v"), "v")
+                .select("u", "v")
+                .localCheckpoint(eager=True)
+            )
         if active_nodes.limit(1).count() == 0:
             break
         # 1. forward-min coloring to fixpoint
