@@ -2301,6 +2301,66 @@ def q73_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         _doc_digraph_edges(spark, sf_dir)).orderBy("node")
 
 
+_Q74_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+    FROM documents
+), base AS (
+    SELECT doc_id, t, len(t) - 3 + 1 AS m FROM toks WHERE len(t) >= 3
+), h AS (
+    SELECT doc_id, g.g AS pos,
+           ('0x' || substr(md5(array_to_string(
+                list_slice(t, g.g, g.g + 2), ' ')), 1, 15))::BIGINT AS hash
+    FROM base, unnest(range(1, m + 1)) AS g(g)
+), ws AS (
+    SELECT doc_id, p.p AS p
+    FROM base, unnest(range(1, greatest(1, m - 4 + 1) + 1)) AS p(p)
+), win AS (
+    SELECT w.doc_id, w.p, h.pos, h.hash
+    FROM ws w JOIN h ON h.doc_id = w.doc_id
+                    AND h.pos >= w.p AND h.pos < w.p + 4
+), mins AS (
+    SELECT doc_id, p, min(hash) AS mn FROM win GROUP BY doc_id, p
+), d AS (
+    SELECT DISTINCT win.doc_id AS id, mins.mn AS fp
+    FROM win JOIN mins ON win.doc_id = mins.doc_id AND win.p = mins.p
+                      AND win.hash = mins.mn
+), sizes AS (
+    SELECT id, count(*) AS n FROM d GROUP BY id
+), keep AS (
+    SELECT fp FROM d GROUP BY fp HAVING count(*) <= 64
+), dd AS (
+    SELECT d.id, d.fp FROM d JOIN keep USING (fp)
+), p AS (
+    SELECT x.id AS a, y.id AS b, CAST(count(*) AS BIGINT) AS n_shared
+    FROM dd x JOIN dd y ON x.fp = y.fp AND x.id < y.id
+    GROUP BY x.id, y.id HAVING count(*) >= 2
+)
+SELECT p.a, p.b, p.n_shared,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       CAST(p.n_shared AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE)
+           AS match_frac
+FROM p JOIN sizes sa ON sa.id = p.a JOIN sizes sb ON sb.id = p.b
+ORDER BY a, b
+"""
+
+
+def q74_passage_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-passage pairs over the winnowing sketch (textstats.
+    winnow_passage_pairs — the MOSS matching step): one fp-keyed
+    equi-join instead of all-pairs, boilerplate fingerprints (doc freq
+    > 64) dropped by the skew guard, pairs kept at >= 2 shared distinct
+    fingerprints. match_frac = n_shared / min sketch size, one double
+    division of identical BIGINTs — fully DuckDB-oracled."""
+    from thesis_ner_co_tri_training_spark.operators.textstats import (
+        winnow_passage_pairs)
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_passage_pairs(docs, k=3, w=4, max_df=64,
+                                min_shared=2).orderBy("a", "b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2376,6 +2436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_crawl_budget": q71_crawl_budget,
         "q72_winnowing": q72_winnowing,
         "q73_scc": q73_scc,
+        "q74_passage_matches": q74_passage_matches,
     }
 
 
@@ -3585,4 +3646,5 @@ def oracle_sql() -> dict[str, str]:
         "q71_crawl_budget": _Q71_SQL,
         "q72_winnowing": _Q72_SQL,
         "q73_scc": _Q73_SQL,
+        "q74_passage_matches": _Q74_SQL,
     }

@@ -109,3 +109,50 @@ def test_winnowing_param_guard(spark):
         winnow_fingerprints(df, k=0)
     with pytest.raises(ValueError):
         winnow_fingerprints(df, w=0)
+
+
+def test_passage_pairs_planted_copy(spark):
+    """A copied passage of >= w + k - 1 tokens must surface its pair;
+    n_shared equals the replay's shared-fp count and match_frac is the
+    exact ratio."""
+    from thesis_ner_co_tri_training_spark.operators.textstats import (
+        winnow_passage_pairs)
+
+    passage = ("the quick brown fox jumps over the lazy dog while "
+               "seven wizards brew quartz potions at midnight")
+    rows = [
+        (1, "intro words here " + passage + " outro text"),
+        (2, "totally different lead-in before " + passage),
+        (3, "unrelated document about maritime navigation routes on "
+            "clear nights with stable compasses and dry charts"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.a, r.b): r for r in
+           winnow_passage_pairs(df, k=3, w=4, min_shared=2).collect()}
+    assert (1, 2) in out
+    assert all(p == (1, 2) for p in out)          # doc 3 matches nothing
+    r = out[(1, 2)]
+    s1 = {fp for _, fp in _winnow_replay(rows[0][1])}
+    s2 = {fp for _, fp in _winnow_replay(rows[1][1])}
+    assert r.n_shared == len(s1 & s2) >= 2
+    assert r.n_a == len(s1) and r.n_b == len(s2)
+    assert r.match_frac == r.n_shared / min(r.n_a, r.n_b)
+
+
+def test_passage_pairs_boilerplate_guard(spark):
+    """A fingerprint present in > max_df documents is boilerplate: it
+    must not generate pairs. With max_df=3 and the same passage in 5
+    docs, only fps confined to <= 3 docs may pair."""
+    from thesis_ner_co_tri_training_spark.operators.textstats import (
+        winnow_passage_pairs)
+
+    boiler = "subscribe to our newsletter for updates and offers today"
+    rows = [(i, f"unique lead {i} alpha{i} beta{i} " + boiler)
+            for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    unguarded = winnow_passage_pairs(df, k=3, w=4, max_df=64,
+                                     min_shared=2).count()
+    guarded = winnow_passage_pairs(df, k=3, w=4, max_df=3,
+                                   min_shared=2).count()
+    assert unguarded == 10          # all C(5,2) pairs via the boilerplate
+    assert guarded == 0             # shared fps exceed max_df -> dropped

@@ -649,3 +649,70 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
         .select(F.col(id_col), F.col("__s.pos").alias("pos"),
                 F.col("__s.fp").alias("fp"))
     )
+
+
+def winnow_passage_pairs(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", k: int = 3, w: int = 4,
+                         max_df: int = 64,
+                         min_shared: int = 2) -> DataFrame:
+    """Shared-passage detection over the winnowing sketch — the MOSS
+    matching step: two documents that share a verbatim run of >=
+    w + k - 1 tokens are GUARANTEED to share a fingerprint, so pair
+    candidates come from one equi-join on fp, never an all-pairs scan.
+
+    Fingerprints occurring in more than `max_df` documents are dropped
+    before pairing (the standard MOSS move: ubiquitous fingerprints are
+    boilerplate, not evidence of copying — and the skew guard that stops
+    a hot fp from exploding the join, same role as minhash's bucket-size
+    cap). Document sketch sizes are counted BEFORE the guard, so
+    match_frac is honest about how much of each sketch matched.
+
+    Output per (a, b) pair with a < b and >= min_shared shared distinct
+    fingerprints: n_shared, n_a, n_b (distinct-fp sketch sizes) and
+    match_frac = n_shared / min(n_a, n_b) — one double division of two
+    BIGINTs, identical operands on any engine, so fully DuckDB-oracled
+    (q74).
+
+    Shape at scale: sketch (map-side, q72) -> per-doc distinct -> one
+    fp-keyed frequency aggregate (map-side combinable) -> one fp-keyed
+    self-join bounded by max_df^2 rows per fp -> one pair-keyed count.
+    All shuffles are keyed by fp or (a, b); no window, no Python.
+    """
+    fps = winnow_fingerprints(df, id_col=id_col, text_col=text_col,
+                              k=k, w=w)
+    # materialize the sketch ONCE: d feeds four consumers (sizes, the
+    # frequency guard, and BOTH self-join sides) and Catalyst re-derives
+    # unshared subplans per consumer — without this cut the whole
+    # tokenize+hash+winnow scan runs 4x (plan audit: 6 scans -> 1)
+    d = (
+        fps.select(F.col(id_col).alias("id"), "fp").distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = d.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    keep = (
+        d.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("fp")
+    )
+    dd = d.join(keep, "fp")
+    pairs = (
+        dd.select("fp", F.col("id").alias("a"))
+        .join(dd.select("fp", F.col("id").alias("b")), "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return (
+        pairs.join(sizes.select(F.col("id").alias("a"),
+                                F.col("n").alias("n_a")), "a")
+        .join(sizes.select(F.col("id").alias("b"),
+                           F.col("n").alias("n_b")), "b")
+        .select(
+            "a", "b", "n_shared",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (F.col("n_shared").cast("double")
+             / F.least("n_a", "n_b").cast("double")).alias("match_frac"),
+        )
+    )
