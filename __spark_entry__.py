@@ -2346,6 +2346,56 @@ ORDER BY a, b
 """
 
 
+_Q75_SQL = """
+WITH RECURSIVE ids AS (SELECT doc_id AS i FROM documents),
+e AS (
+    SELECT lpad(CAST(a.i AS VARCHAR), 8, '0') AS a,
+           lpad(CAST(a.i + 1 AS VARCHAR), 8, '0') AS b
+    FROM ids a JOIN ids b2 ON b2.i = a.i + 1 WHERE a.i % 7 <> 6
+    UNION
+    SELECT lpad(CAST(a.i + 4 AS VARCHAR), 8, '0'),
+           lpad(CAST(a.i AS VARCHAR), 8, '0')
+    FROM ids a JOIN ids b2 ON b2.i = a.i + 4 WHERE a.i % 9 = 0
+    UNION
+    SELECT lpad(CAST(a.i AS VARCHAR), 8, '0'),
+           lpad(CAST(a.i + 13 AS VARCHAR), 8, '0')
+    FROM ids a JOIN ids b2 ON b2.i = a.i + 13 WHERE a.i % 50 = 0
+),
+n AS (SELECT a AS x FROM e UNION SELECT b FROM e),
+r(s, d) AS (
+    SELECT a, b FROM e
+    UNION
+    SELECT r.s, e.b FROM r JOIN e ON e.a = r.d
+),
+reach AS (SELECT s, d FROM r UNION SELECT x, x FROM n),
+scc AS (
+    SELECT p.s AS node, min(p.d) AS scc_id
+    FROM reach p JOIN reach q ON q.s = p.d AND q.d = p.s
+    GROUP BY p.s
+)
+SELECT sa.scc_id AS src_scc, sb.scc_id AS dst_scc,
+       CAST(count(*) AS BIGINT) AS n_edges
+FROM e JOIN scc sa ON sa.node = e.a
+       JOIN scc sb ON sb.node = e.b
+WHERE sa.scc_id <> sb.scc_id
+GROUP BY sa.scc_id, sb.scc_id
+ORDER BY src_scc, dst_scc
+"""
+
+
+def q75_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condensation DAG of the q73 directed doc graph (plans/graph.
+    scc_condensation): SCCs collapse to their min member, distinct
+    between-component edges kept with collapsed-edge counts — the
+    cycle-free rollup that makes DAG-only analytics applicable to a
+    link graph. Oracle: the q73 recursive-CTE SCC plus one join."""
+    from thesis_ner_co_tri_training_spark.plans.graph import (
+        scc_condensation)
+
+    return scc_condensation(
+        _doc_digraph_edges(spark, sf_dir)).orderBy("src_scc", "dst_scc")
+
+
 def q74_passage_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-passage pairs over the winnowing sketch (textstats.
     winnow_passage_pairs — the MOSS matching step): one fp-keyed
@@ -2437,6 +2487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_winnowing": q72_winnowing,
         "q73_scc": q73_scc,
         "q74_passage_matches": q74_passage_matches,
+        "q75_condensation": q75_condensation,
     }
 
 
@@ -2773,9 +2824,13 @@ def oracle_sql() -> dict[str, str]:
         "es": "'el','la','de','que','y','en','un','una','es','los','se','del','las','por','con'",
         "fr": "'le','la','de','et','les','des','est','un','une','du','que','qui','dans','pour','pas'",
     }
-    sw_ratio = lambda l: (
-        f"round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE "
-        f"len(list_filter(toks, t -> t IN ({sw[l]}))) / CAST(n_tokens AS DOUBLE) END, 4)"
+    # portable HALF-UP 4-digit round: floor(x*1e4 + 0.5)/1e4 — the same
+    # IEEE ops as textstats._round4_portable, tie-stable across engines
+    # (engine-native round() split 7/5000 quality rows at sf0.1)
+    r4 = lambda x: f"floor(({x}) * 10000.0 + 0.5) / 10000.0"
+    sw_ratio = lambda l: r4(
+        f"CASE WHEN n_tokens = 0 THEN 0.0 ELSE "
+        f"len(list_filter(toks, t -> t IN ({sw[l]}))) / CAST(n_tokens AS DOUBLE) END"
     )
     lang_base = f"""
         WITH base AS (
@@ -2804,14 +2859,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(list_distinct(toks)) AS n_distinct FROM counted
         )
         SELECT r.doc_id, CAST(r.n_tokens AS INTEGER) AS n_tokens,
-               round((
+               floor(((
                    least(r.n_tokens / 100.0, 1.0)
                    + CASE WHEN a.n_nonspace = 0 THEN 0.0
                           ELSE CAST(a.n_alpha AS DOUBLE) / a.n_nonspace END
                    + least(greatest(sw_en, sw_de, sw_es, sw_fr) / 0.3, 1.0)
                    + CASE WHEN r.n_tokens = 0 THEN 0.0
                           ELSE CAST(d.n_distinct AS DOUBLE) / r.n_tokens END
-               ) / 4, 4) AS quality
+               ) / 4) * 10000.0 + 0.5) / 10000.0 AS quality
         FROM ratios r JOIN alpha a ON r.doc_id = a.doc_id
         JOIN distincts d ON r.doc_id = d.doc_id
     """
@@ -3471,14 +3526,14 @@ def oracle_sql() -> dict[str, str]:
                             WHEN sw_es >= sw_en AND sw_es >= sw_de THEN 'es'
                             WHEN sw_en >= sw_de THEN 'en'
                             ELSE 'de' END AS lang_pred,
-                       round((
+                       floor(((
                            least(r.n_tokens / 100.0, 1.0)
                            + CASE WHEN a.n_nonspace = 0 THEN 0.0
                                   ELSE CAST(a.n_alpha AS DOUBLE) / a.n_nonspace END
                            + least(greatest(sw_en, sw_de, sw_es, sw_fr) / 0.3, 1.0)
                            + CASE WHEN r.n_tokens = 0 THEN 0.0
                                   ELSE CAST(d.n_distinct AS DOUBLE) / r.n_tokens END
-                       ) / 4, 4) AS quality
+                       ) / 4) * 10000.0 + 0.5) / 10000.0 AS quality
                 FROM ratios r JOIN alpha a ON r.doc_id = a.doc_id
                 JOIN distincts d ON r.doc_id = d.doc_id
             )
@@ -3647,4 +3702,5 @@ def oracle_sql() -> dict[str, str]:
         "q72_winnowing": _Q72_SQL,
         "q73_scc": _Q73_SQL,
         "q74_passage_matches": _Q74_SQL,
+        "q75_condensation": _Q75_SQL,
     }

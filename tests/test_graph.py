@@ -598,3 +598,29 @@ def test_scc_descending_chain_of_cycles(spark):
     assert got == _tarjan_scc(edges)
     for c in range(1, k + 1):
         assert got[f"c{c:02d}b"] == f"c{c:02d}a"
+
+
+def test_scc_condensation_matches_replay(spark):
+    """Condensation == the Tarjan-derived rollup (distinct collapsed
+    edge counts, intra-SCC edges dropped) and is acyclic."""
+    from collections import Counter
+
+    from thesis_ner_co_tri_training_spark.plans.graph import scc_condensation
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),          # SCC {a,b,c}
+        ("c", "d"), ("a", "d"),                      # two edges -> d
+        ("d", "e"), ("e", "f"), ("f", "g"), ("g", "f"),  # SCC {f,g}
+        ("b", "d"),                                  # third edge -> d
+        ("g", "h"),
+    ]
+    df = spark.createDataFrame(edges, "subj_id string, obj_id string")
+    got = {(r.src_scc, r.dst_scc): r.n_edges
+           for r in scc_condensation(df).collect()}
+    lab = _tarjan_scc(edges)
+    want = Counter((lab[u], lab[v]) for u, v in set(edges)
+                   if lab[u] != lab[v])
+    assert got == dict(want)
+    assert got[("a", "d")] == 3                      # a,b,c -> d collapsed
+    # acyclic: no pair appears in both directions
+    assert not any((b, a) in got for a, b in got)

@@ -27,6 +27,21 @@ STOPWORDS = {
 _WORD_SPLIT = r"\s+"
 
 
+def _round4_portable(c: Column) -> Column:
+    """HALF-UP round to 4 digits as pure IEEE ops: floor(x*1e4 + 0.5)/1e4.
+
+    Engine-native round() is NOT cross-engine stable on decimal ties:
+    Spark rounds the exact binary value via BigDecimal HALF_UP while
+    DuckDB rounds through float math — at sf0.1, 7/5000 quality scores
+    landed on a tie and split the two engines (found by running the
+    contract gate at 10x the driver SF). This recipe is the same IEEE
+    multiply/add/floor on both sides, so bit-identical inputs give
+    bit-identical rounded outputs at any scale. Every rounded column
+    in the q13/q14 signal family must use it (oracle twin:
+    floor(x * 10000.0 + 0.5) / 10000.0)."""
+    return F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
+
 def tokens_col(text_col: str = "text") -> Column:
     return F.split(F.trim(F.lower(F.col(text_col))), _WORD_SPLIT)
 
@@ -60,7 +75,7 @@ def stopword_ratios(df: DataFrame, text_col: str = "text") -> DataFrame:
         ratio = F.when(F.size(toks) == 0, 0.0).otherwise(
             F.size(F.filter(toks, lambda t: F.array_contains(arr, t))) / F.size(toks)
         )
-        out = out.withColumn(f"sw_{lang}", F.round(ratio, 4))
+        out = out.withColumn(f"sw_{lang}", _round4_portable(ratio))
     return out
 
 
@@ -104,7 +119,8 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return d.withColumn(
         "quality",
-        F.round((length_score + alpha_ratio + stop_score + distinct_ratio) / 4, 4),
+        _round4_portable(
+            (length_score + alpha_ratio + stop_score + distinct_ratio) / 4),
     )
 
 

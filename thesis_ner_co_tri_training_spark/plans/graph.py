@@ -759,3 +759,40 @@ def strongly_connected_components(edges: DataFrame, src: str = "subj_id",
             "strongly_connected_components: peeling did not finish "
             f"within max_rounds={max_rounds} rounds")
     return assigned
+
+
+def scc_condensation(edges: DataFrame, src: str = "subj_id",
+                     dst: str = "obj_id", **scc_kwargs) -> DataFrame:
+    """Condensation of the directed graph: collapse every strongly
+    connected component (strongly_connected_components above) to one
+    node and keep the distinct between-component edges — the standard
+    cycle-free rollup (the condensation is always a DAG), e.g. a web
+    link graph reduced to its mutual-reference clusters so downstream
+    DAG-only analytics (topological layering, longest paths, dominator
+    trees) become applicable.
+
+    Output: (src_scc, dst_scc, n_edges) — component ids are the SCC min
+    member, n_edges counts the DISTINCT original (u, v) edges collapsed
+    into the condensed edge; intra-component edges drop. Fully
+    DuckDB-oracled (q75).
+
+    Shape at scale: the SCC fixpoint dominates; the rollup itself is
+    two node-keyed joins + one (src_scc, dst_scc)-keyed count.
+    """
+    scc = strongly_connected_components(edges, src=src, dst=dst,
+                                        **scc_kwargs)
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull()
+                & (F.col("u") != F.col("v")))
+        .distinct()
+    )
+    return (
+        e.join(scc.withColumnRenamed("node", "u")
+               .withColumnRenamed("scc_id", "src_scc"), "u")
+        .join(scc.withColumnRenamed("node", "v")
+              .withColumnRenamed("scc_id", "dst_scc"), "v")
+        .filter(F.col("src_scc") != F.col("dst_scc"))
+        .groupBy("src_scc", "dst_scc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
