@@ -2396,6 +2396,63 @@ def q75_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
         _doc_digraph_edges(spark, sf_dir)).orderBy("src_scc", "dst_scc")
 
 
+_Q76_SQL = """
+WITH RECURSIVE ids AS (SELECT doc_id AS i FROM documents),
+e AS (
+    SELECT lpad(CAST(a.i AS VARCHAR), 8, '0') AS a,
+           lpad(CAST(a.i + 1 AS VARCHAR), 8, '0') AS b
+    FROM ids a JOIN ids b2 ON b2.i = a.i + 1 WHERE a.i % 7 <> 6
+    UNION
+    SELECT lpad(CAST(a.i + 4 AS VARCHAR), 8, '0'),
+           lpad(CAST(a.i AS VARCHAR), 8, '0')
+    FROM ids a JOIN ids b2 ON b2.i = a.i + 4 WHERE a.i % 9 = 0
+    UNION
+    SELECT lpad(CAST(a.i AS VARCHAR), 8, '0'),
+           lpad(CAST(a.i + 13 AS VARCHAR), 8, '0')
+    FROM ids a JOIN ids b2 ON b2.i = a.i + 13 WHERE a.i % 50 = 0
+),
+n AS (SELECT a AS x FROM e UNION SELECT b FROM e),
+r(s, d) AS (
+    SELECT a, b FROM e
+    UNION
+    SELECT r.s, e.b FROM r JOIN e ON e.a = r.d
+),
+reach AS (SELECT s, d FROM r UNION SELECT x, x FROM n),
+scc AS (
+    SELECT p.s AS node, min(p.d) AS scc_id
+    FROM reach p JOIN reach q ON q.s = p.d AND q.d = p.s
+    GROUP BY p.s
+),
+ce AS (
+    SELECT DISTINCT sa.scc_id AS src_scc, sb.scc_id AS dst_scc
+    FROM e JOIN scc sa ON sa.node = e.a
+           JOIN scc sb ON sb.node = e.b
+    WHERE sa.scc_id <> sb.scc_id
+),
+cn AS (SELECT src_scc AS x FROM ce UNION SELECT dst_scc FROM ce),
+p2(node, l) AS (
+    SELECT x, 0 FROM cn
+    UNION
+    SELECT ce.dst_scc, p2.l + 1 FROM p2 JOIN ce ON ce.src_scc = p2.node
+)
+SELECT node, CAST(max(l) AS BIGINT) AS level
+FROM p2 GROUP BY node ORDER BY node
+"""
+
+
+def q76_dag_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topological layering of the q75 condensation DAG (plans/graph.
+    dag_longest_path_levels): level = longest-path length in edges from
+    any source — exact max-relaxation fixpoint, the max-plus twin of
+    bounded Bellman-Ford. Oracle: recursive-CTE path enumeration + max
+    over the same condensation."""
+    from thesis_ner_co_tri_training_spark.plans.graph import (
+        dag_longest_path_levels, scc_condensation)
+
+    cond = scc_condensation(_doc_digraph_edges(spark, sf_dir))
+    return dag_longest_path_levels(cond).orderBy("node")
+
+
 def q74_passage_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-passage pairs over the winnowing sketch (textstats.
     winnow_passage_pairs — the MOSS matching step): one fp-keyed
@@ -2488,6 +2545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_scc": q73_scc,
         "q74_passage_matches": q74_passage_matches,
         "q75_condensation": q75_condensation,
+        "q76_dag_levels": q76_dag_levels,
     }
 
 
@@ -3703,4 +3761,5 @@ def oracle_sql() -> dict[str, str]:
         "q73_scc": _Q73_SQL,
         "q74_passage_matches": _Q74_SQL,
         "q75_condensation": _Q75_SQL,
+        "q76_dag_levels": _Q76_SQL,
     }

@@ -624,3 +624,63 @@ def test_scc_condensation_matches_replay(spark):
     assert got[("a", "d")] == 3                      # a,b,c -> d collapsed
     # acyclic: no pair appears in both directions
     assert not any((b, a) in got for a, b in got)
+
+
+def test_dag_levels_matches_replay(spark):
+    """dag_longest_path_levels == brute-force longest-path DP, including
+    a diamond (max over two path lengths) and a deep chain."""
+    from functools import lru_cache
+
+    from thesis_ner_co_tri_training_spark.plans.graph import (
+        dag_longest_path_levels)
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "d"),       # chain depth 3
+        ("a", "d"),                               # shortcut (loses to chain)
+        ("d", "e"), ("x", "e"),                   # two sources converge
+        ("e", "f"), ("f", "g"),
+    ]
+    df = spark.createDataFrame(edges, "src_scc string, dst_scc string")
+    got = {r.node: r.level for r in dag_longest_path_levels(df).collect()}
+
+    from collections import defaultdict
+    preds = defaultdict(list)
+    nodes = set()
+    for u, v in edges:
+        preds[v].append(u)
+        nodes.update((u, v))
+
+    @lru_cache(maxsize=None)
+    def level(v):
+        return 0 if not preds[v] else 1 + max(level(u) for u in preds[v])
+
+    assert got == {v: level(v) for v in nodes}
+    assert got["d"] == 3 and got["e"] == 4 and got["g"] == 6
+    assert got["a"] == 0 and got["x"] == 0
+
+
+def test_dag_levels_rejects_cycles(spark):
+    import pytest
+
+    from thesis_ner_co_tri_training_spark.plans.graph import (
+        dag_longest_path_levels)
+
+    df = spark.createDataFrame([("a", "b"), ("b", "a")],
+                               "src_scc string, dst_scc string")
+    with pytest.raises(RuntimeError, match="cyclic"):
+        dag_longest_path_levels(df, max_iter=6)
+
+
+def test_scc_condensation_feeds_levels(spark):
+    """End-to-end: cyclic graph -> condensation -> layering; the cycle
+    collapses and the condensed DAG layers cleanly."""
+    from thesis_ner_co_tri_training_spark.plans.graph import (
+        dag_longest_path_levels, scc_condensation)
+
+    edges = [("a", "b"), ("b", "a"),              # SCC {a,b}
+             ("b", "c"), ("c", "d"), ("d", "e"),
+             ("e", "c")]                          # SCC {c,d,e}
+    df = spark.createDataFrame(edges, "subj_id string, obj_id string")
+    cond = scc_condensation(df)
+    got = {r.node: r.level for r in dag_longest_path_levels(cond).collect()}
+    assert got == {"a": 0, "c": 1}

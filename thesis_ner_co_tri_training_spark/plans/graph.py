@@ -796,3 +796,63 @@ def scc_condensation(edges: DataFrame, src: str = "subj_id",
         .groupBy("src_scc", "dst_scc")
         .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     )
+
+
+def dag_longest_path_levels(edges: DataFrame, src: str = "src_scc",
+                            dst: str = "dst_scc",
+                            max_iter: int = 200,
+                            checkpoint_every: int = 8) -> DataFrame:
+    """Topological layering of a DAG: level(v) = length in edges of the
+    LONGEST path ending at v (sources = 0) — the critical-path layering
+    that schedules dependency graphs and stratifies a condensed link
+    graph by derivation depth. Run on scc_condensation output (any
+    cycle-free edge list works; the SCC rollup is what guarantees
+    acyclicity for a web graph).
+
+    Exact fixpoint by max-relaxation: level <- max(level, in-neighbor
+    level + 1) per round, converging in depth(DAG) rounds — the max-
+    plus twin of shortest_paths' min-relaxation, same one keyed join +
+    one keyed aggregate per round, scalar changed-count per round,
+    localCheckpoint cadence. A cycle would relax forever, so exceeding
+    max_iter raises (cycle or depth > max_iter) instead of silently
+    returning a non-fixpoint. DuckDB-oracled via recursive-CTE path
+    enumeration + max (q76).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull()
+                & (F.col("u") != F.col("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lev = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("level"))
+        .localCheckpoint(eager=True)
+    )
+    for i in range(max_iter):
+        relax = (
+            lev.join(e, lev["node"] == e["u"])
+            .select(F.col("v").alias("node"),
+                    (F.col("level") + 1).alias("level"))
+        )
+        new_lev = (
+            lev.unionByName(relax)
+            .groupBy("node")
+            .agg(F.max("level").alias("level"))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_lev = new_lev.localCheckpoint(eager=True)
+        changed = (
+            new_lev.join(lev.withColumnRenamed("level", "__old"), "node")
+            .filter(F.col("level") != F.col("__old"))
+            .limit(1).count()
+        )
+        lev = new_lev
+        if changed == 0:
+            return lev
+    raise RuntimeError(
+        "dag_longest_path_levels: no fixpoint within "
+        f"max_iter={max_iter} rounds — cyclic input or deeper DAG")
