@@ -2180,11 +2180,15 @@ ORDER BY key
 """
 
 
-_Q72_SQL = """
-WITH toks AS (
+def _winnow_ctes(where: str = "") -> str:
+    """Shared winnowing CTE chain (NORM tokens -> k=3 gram hashes ->
+    w=4 window starts -> window rows -> per-window minima) — ONE copy so
+    the q72 sketch and the q74 matcher can never drift apart. `where`
+    optionally restricts the doc scan (q72 subsets for compare size)."""
+    return f"""toks AS (
     SELECT doc_id,
            string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
-    FROM documents WHERE doc_id % 5 = 0
+    FROM documents {where}
 ), base AS (
     SELECT doc_id, t, len(t) - 3 + 1 AS m FROM toks WHERE len(t) >= 3
 ), h AS (
@@ -2201,7 +2205,11 @@ WITH toks AS (
                     AND h.pos >= w.p AND h.pos < w.p + 4
 ), mins AS (
     SELECT doc_id, p, min(hash) AS mn FROM win GROUP BY doc_id, p
-), pick AS (
+)"""
+
+
+_Q72_SQL = "WITH " + _winnow_ctes("WHERE doc_id % 5 = 0") + """
+, pick AS (
     SELECT win.doc_id, mins.p, max(win.pos) AS pos, mins.mn AS fp
     FROM win JOIN mins ON win.doc_id = mins.doc_id AND win.p = mins.p
                       AND win.hash = mins.mn
@@ -2228,7 +2236,7 @@ def q72_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs, k=3, w=4).orderBy("doc_id", "pos")
 
 
-_Q73_SQL = """
+_DIGRAPH_SCC_CTES = """
 WITH RECURSIVE ids AS (SELECT doc_id AS i FROM documents),
 e AS (
     SELECT lpad(CAST(a.i AS VARCHAR), 8, '0') AS a,
@@ -2249,11 +2257,18 @@ r(s, d) AS (
     UNION
     SELECT r.s, e.b FROM r JOIN e ON e.a = r.d
 ),
-reach AS (SELECT s, d FROM r UNION SELECT x, x FROM n)
-SELECT p.s AS node, min(p.d) AS scc_id
-FROM reach p JOIN reach q ON q.s = p.d AND q.d = p.s
-GROUP BY p.s
-ORDER BY node
+reach AS (SELECT s, d FROM r UNION SELECT x, x FROM n),
+scc AS (
+    SELECT p.s AS node, min(p.d) AS scc_id
+    FROM reach p JOIN reach q ON q.s = p.d AND q.d = p.s
+    GROUP BY p.s
+)"""
+# ONE copy of the deterministic digraph + recursive-CTE SCC used by the
+# q73/q75/q76 oracles — the engine side builds the same graph once in
+# _doc_digraph_edges; a drifting copy would silently decouple them.
+
+_Q73_SQL = _DIGRAPH_SCC_CTES + """
+SELECT node, scc_id FROM scc ORDER BY node
 """
 
 
@@ -2301,28 +2316,8 @@ def q73_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         _doc_digraph_edges(spark, sf_dir)).orderBy("node")
 
 
-_Q74_SQL = """
-WITH toks AS (
-    SELECT doc_id,
-           string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
-    FROM documents
-), base AS (
-    SELECT doc_id, t, len(t) - 3 + 1 AS m FROM toks WHERE len(t) >= 3
-), h AS (
-    SELECT doc_id, g.g AS pos,
-           ('0x' || substr(md5(array_to_string(
-                list_slice(t, g.g, g.g + 2), ' ')), 1, 15))::BIGINT AS hash
-    FROM base, unnest(range(1, m + 1)) AS g(g)
-), ws AS (
-    SELECT doc_id, p.p AS p
-    FROM base, unnest(range(1, greatest(1, m - 4 + 1) + 1)) AS p(p)
-), win AS (
-    SELECT w.doc_id, w.p, h.pos, h.hash
-    FROM ws w JOIN h ON h.doc_id = w.doc_id
-                    AND h.pos >= w.p AND h.pos < w.p + 4
-), mins AS (
-    SELECT doc_id, p, min(hash) AS mn FROM win GROUP BY doc_id, p
-), d AS (
+_Q74_SQL = "WITH " + _winnow_ctes() + """
+, d AS (
     SELECT DISTINCT win.doc_id AS id, mins.mn AS fp
     FROM win JOIN mins ON win.doc_id = mins.doc_id AND win.p = mins.p
                       AND win.hash = mins.mn
@@ -2346,33 +2341,7 @@ ORDER BY a, b
 """
 
 
-_Q75_SQL = """
-WITH RECURSIVE ids AS (SELECT doc_id AS i FROM documents),
-e AS (
-    SELECT lpad(CAST(a.i AS VARCHAR), 8, '0') AS a,
-           lpad(CAST(a.i + 1 AS VARCHAR), 8, '0') AS b
-    FROM ids a JOIN ids b2 ON b2.i = a.i + 1 WHERE a.i % 7 <> 6
-    UNION
-    SELECT lpad(CAST(a.i + 4 AS VARCHAR), 8, '0'),
-           lpad(CAST(a.i AS VARCHAR), 8, '0')
-    FROM ids a JOIN ids b2 ON b2.i = a.i + 4 WHERE a.i % 9 = 0
-    UNION
-    SELECT lpad(CAST(a.i AS VARCHAR), 8, '0'),
-           lpad(CAST(a.i + 13 AS VARCHAR), 8, '0')
-    FROM ids a JOIN ids b2 ON b2.i = a.i + 13 WHERE a.i % 50 = 0
-),
-n AS (SELECT a AS x FROM e UNION SELECT b FROM e),
-r(s, d) AS (
-    SELECT a, b FROM e
-    UNION
-    SELECT r.s, e.b FROM r JOIN e ON e.a = r.d
-),
-reach AS (SELECT s, d FROM r UNION SELECT x, x FROM n),
-scc AS (
-    SELECT p.s AS node, min(p.d) AS scc_id
-    FROM reach p JOIN reach q ON q.s = p.d AND q.d = p.s
-    GROUP BY p.s
-)
+_Q75_SQL = _DIGRAPH_SCC_CTES + """
 SELECT sa.scc_id AS src_scc, sb.scc_id AS dst_scc,
        CAST(count(*) AS BIGINT) AS n_edges
 FROM e JOIN scc sa ON sa.node = e.a
@@ -2396,34 +2365,8 @@ def q75_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
         _doc_digraph_edges(spark, sf_dir)).orderBy("src_scc", "dst_scc")
 
 
-_Q76_SQL = """
-WITH RECURSIVE ids AS (SELECT doc_id AS i FROM documents),
-e AS (
-    SELECT lpad(CAST(a.i AS VARCHAR), 8, '0') AS a,
-           lpad(CAST(a.i + 1 AS VARCHAR), 8, '0') AS b
-    FROM ids a JOIN ids b2 ON b2.i = a.i + 1 WHERE a.i % 7 <> 6
-    UNION
-    SELECT lpad(CAST(a.i + 4 AS VARCHAR), 8, '0'),
-           lpad(CAST(a.i AS VARCHAR), 8, '0')
-    FROM ids a JOIN ids b2 ON b2.i = a.i + 4 WHERE a.i % 9 = 0
-    UNION
-    SELECT lpad(CAST(a.i AS VARCHAR), 8, '0'),
-           lpad(CAST(a.i + 13 AS VARCHAR), 8, '0')
-    FROM ids a JOIN ids b2 ON b2.i = a.i + 13 WHERE a.i % 50 = 0
-),
-n AS (SELECT a AS x FROM e UNION SELECT b FROM e),
-r(s, d) AS (
-    SELECT a, b FROM e
-    UNION
-    SELECT r.s, e.b FROM r JOIN e ON e.a = r.d
-),
-reach AS (SELECT s, d FROM r UNION SELECT x, x FROM n),
-scc AS (
-    SELECT p.s AS node, min(p.d) AS scc_id
-    FROM reach p JOIN reach q ON q.s = p.d AND q.d = p.s
-    GROUP BY p.s
-),
-ce AS (
+_Q76_SQL = _DIGRAPH_SCC_CTES + """
+, ce AS (
     SELECT DISTINCT sa.scc_id AS src_scc, sb.scc_id AS dst_scc
     FROM e JOIN scc sa ON sa.node = e.a
            JOIN scc sb ON sb.node = e.b

@@ -6,15 +6,17 @@ Usage (after jobs/run_pipeline.py has built <warehouse>/nodes + edges):
         --warehouse /tmp/kg_wh [--khop 2] [--pagerank-iters 10] [--cpus 8]
 
 Runs over the edges table: per-entity degree stats, PageRank (dangling-
-aware), and a bounded k-hop neighborhood from the highest-degree entity
-(ties broken lexicographically, same scalar rule as q35). Writes the
-three result tables back into the warehouse under graph_* (same
-catalog layout + lineage snapshots as the pipeline stages) and prints a
+aware), a bounded k-hop neighborhood from the highest-out-degree entity
+(ties broken lexicographically, same scalar rule as q35), and directed
+strongly connected components (mutual-reference clusters). Writes the
+four result tables back into the warehouse under graph_* (same catalog
+layout + lineage snapshots as the pipeline stages) and prints a
 one-line JSON summary.
 
-This is the "graph is queryable, not just materialized" surface: all
-three analytics run as keyed joins/aggregations over the edge table the
-pipeline wrote — no driver-side iteration over data.
+This is the "graph is queryable, not just materialized" surface: every
+analytic runs as keyed joins/aggregations over the edge table the
+pipeline wrote — the only driver-side values are bounded scalars
+(hub id, per-round convergence counts).
 """
 
 from __future__ import annotations
@@ -30,6 +32,10 @@ def main() -> int:
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--khop", type=int, default=2)
     ap.add_argument("--pagerank-iters", type=int, default=10)
+    ap.add_argument("--scc-max-rounds", type=int, default=100,
+                    help="SCC peeling-round cap (condensation depth)")
+    ap.add_argument("--scc-max-inner", type=int, default=256,
+                    help="SCC coloring/sweep iteration cap (~diameter)")
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
@@ -78,7 +84,9 @@ def main() -> int:
     # Directed SCC: mutual-reference clusters (circular citations, link
     # rings). On a subj->obj triple graph most components are singletons;
     # the non-trivial ones are the interesting anomaly signal.
-    scc = strongly_connected_components(e).localCheckpoint(eager=True)
+    scc = strongly_connected_components(
+        e, max_rounds=args.scc_max_rounds, max_inner=args.scc_max_inner
+    ).localCheckpoint(eager=True)
     catalog.write_table(scc, args.warehouse, "graph_scc",
                         stage_params={"source": "edges"})
     scc_sizes = scc.groupBy("scc_id").count()
@@ -99,7 +107,7 @@ def main() -> int:
         "k": args.khop,
         "scc_components": scc_stats["n"],
         "scc_nontrivial": int(scc_stats["nontrivial"] or 0),
-        "scc_largest": scc_stats["largest"],
+        "scc_largest": int(scc_stats["largest"] or 0),
         "top_pagerank": [[r["node"], round(r["rank"], 6)] for r in top],
     }))
     spark.stop()

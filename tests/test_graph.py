@@ -684,3 +684,16 @@ def test_scc_condensation_feeds_levels(spark):
     cond = scc_condensation(df)
     got = {r.node: r.level for r in dag_longest_path_levels(cond).collect()}
     assert got == {"a": 0, "c": 1}
+
+
+def test_scc_completes_in_exactly_max_rounds(spark):
+    """Peel finishing in exactly max_rounds must NOT raise (for-else
+    off-by-one regression): one 2-cycle resolves in a single round."""
+    from thesis_ner_co_tri_training_spark.plans.graph import (
+        strongly_connected_components)
+
+    df = spark.createDataFrame([("a", "b"), ("b", "a")],
+                               "subj_id string, obj_id string")
+    got = {r.node: r.scc_id
+           for r in strongly_connected_components(df, max_rounds=1).collect()}
+    assert got == {"a": "a", "b": "a"}

@@ -594,7 +594,7 @@ def hits_fixedpoint(edges: DataFrame, iterations: int = 8,
 def strongly_connected_components(edges: DataFrame, src: str = "subj_id",
                                   dst: str = "obj_id",
                                   max_rounds: int = 100,
-                                  max_inner: int = 64,
+                                  max_inner: int = 256,
                                   checkpoint_every: int = 4) -> DataFrame:
     """Strongly connected components of the DIRECTED edge list — the
     directed twin of linking.connected_components. On a KG/link graph
@@ -661,8 +661,13 @@ def strongly_connected_components(edges: DataFrame, src: str = "subj_id",
     for _ in range(max_rounds):
         if active_nodes.limit(1).count() == 0:
             break
-        # 0. trim: no-in-edge or no-out-edge nodes are singleton SCCs
-        for _t in range(max_inner):
+        # 0. trim: no-in-edge or no-out-edge nodes are singleton SCCs.
+        # Deliberately UNCAPPED (unlike the color/sweep loops): every
+        # pass removes >= 1 node or breaks, so it terminates, and a cap
+        # here would leave a long path remnant that then blows the
+        # coloring's max_inner bound (a ~200-node descending path trims
+        # in ~100 cheap passes; capped at 64 it would crash coloring).
+        while True:
             srcs = e.select(F.col("u").alias("node")).distinct()
             dsts = e.select(F.col("v").alias("node")).distinct()
             trivial = (
@@ -741,8 +746,7 @@ def strongly_connected_components(edges: DataFrame, src: str = "subj_id",
                 "strongly_connected_components: pivot sweep did not "
                 f"converge within max_inner={max_inner} iterations")
         scc = reached.select("node", F.col("color").alias("scc_id"))
-        assigned = scc if assigned is None else assigned.unionByName(scc)
-        assigned = assigned.localCheckpoint(eager=True)
+        assigned = assigned.unionByName(scc).localCheckpoint(eager=True)
         # 3. peel: drop assigned nodes and their edges
         active_nodes = (
             active_nodes.join(scc.select("node"), "node", "left_anti")
@@ -755,9 +759,13 @@ def strongly_connected_components(edges: DataFrame, src: str = "subj_id",
             .localCheckpoint(eager=True)
         )
     else:
-        raise RuntimeError(
-            "strongly_connected_components: peeling did not finish "
-            f"within max_rounds={max_rounds} rounds")
+        # the loop body breaks as soon as active_nodes empties, but a
+        # peel that finishes in EXACTLY max_rounds rounds exhausts the
+        # range first — only raise if nodes genuinely remain
+        if active_nodes.limit(1).count() > 0:
+            raise RuntimeError(
+                "strongly_connected_components: peeling did not finish "
+                f"within max_rounds={max_rounds} rounds")
     return assigned
 
 
