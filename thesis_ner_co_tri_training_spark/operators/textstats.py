@@ -30,6 +30,11 @@ _WORD_SPLIT = r"\s+"
 def _round4_portable(c: Column) -> Column:
     """HALF-UP round to 4 digits as pure IEEE ops: floor(x*1e4 + 0.5)/1e4.
 
+    PRECONDITION: x >= 0. For negative x this recipe rounds ties toward
+    +inf (floor(-0.5+0.5)=0, not -1), diverging from BigDecimal HALF_UP
+    which rounds ties away from zero. All call sites are ratios/scores
+    in [0, 1]; do not apply it to signed values.
+
     Engine-native round() is NOT cross-engine stable on decimal ties:
     Spark rounds the exact binary value via BigDecimal HALF_UP while
     DuckDB rounds through float math — at sf0.1, 7/5000 quality scores
@@ -602,8 +607,14 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
         cover grams [p, p+w-1] clipped to m — documents with fewer
         than w grams contribute one whole-document window;
       * each window selects the RIGHTMOST gram attaining the window
-        minimum hash (robust winnowing's tie rule), and the output is
-        the distinct selected (pos, fp) set per document.
+        minimum hash (an always-rightmost-min tie rule — a
+        simplification of Schleimer et al.'s robust winnowing, which
+        first prefers re-selecting the previous window's selection and
+        only then falls back to rightmost-min; the simpler rule selects
+        more fingerprints on repetitive text but the detection
+        guarantee is unchanged, and engine, oracle, and replay all
+        implement this same rule), and the output is the distinct
+        selected (pos, fp) set per document.
 
     Output: (id, pos, fp) — 1-based token position and 60-bit BIGINT
     fingerprint, fully DuckDB-oracled (q72).

@@ -628,8 +628,11 @@ def strongly_connected_components(edges: DataFrame, src: str = "subj_id",
     A partially-converged trim is safe (it is an optimization, not a
     correctness step), so the trim loop never raises.
 
-    Output: (node, scc_id) for every node in the edge list, scc_id =
-    min member id. Exact SCC semantics (run to fixpoint, not a fixed
+    Output: (node, scc_id) for every node in the edge list EXCEPT nodes
+    whose only edges are self-loops — the u != v filter drops them
+    entirely (pinned by test_scc_matches_tarjan: node 'z' absent), and
+    q73's oracle matches. Callers that need them as singleton SCCs must
+    union them back in. scc_id = min member id. Exact SCC semantics (run to fixpoint, not a fixed
     round count), DuckDB-oracled via recursive-CTE mutual reachability
     (q73). Raises if max_rounds/max_inner stop the color/sweep loops
     early.
