@@ -2383,6 +2383,158 @@ FROM p2 GROUP BY node ORDER BY node
 """
 
 
+def q77_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding-cluster semantic dedup (dedup.
+    semantic_dedup, Abbas et al. 2023): assign each vector to its
+    nearest centroid, rank cluster members by cosine-to-centroid, prune
+    a member when an earlier-ranked clustermate's cosine crosses the
+    threshold. The contract path fixes the centroids to the embeddings
+    of vec_id < 8 (deterministic; the production default fits a seeded
+    MLlib KMeans quantizer instead — test_dedup pins that path's
+    keeper/prune sets to a pure-numpy replay). Every dot product is the
+    identical sequential fold on both engines (the q17 recipe), so
+    assignment, ranking and thresholding are repr-exact vs DuckDB;
+    output is integers/booleans only. Threshold 0.3 for the same reason
+    as q17: the synthetic embeddings top out at pairwise cosine ~0.51.
+    """
+    from thesis_ner_co_tri_training_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cluster"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    return semantic_dedup(emb, centroids=cent, threshold=0.3).orderBy("vec_id")
+
+
+_Q77_SQL = """
+    WITH v AS (
+        SELECT vec_id, cast(embedding AS DOUBLE[]) AS ve
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) > 0
+    ),
+    cent AS (
+        SELECT CAST(vec_id AS INTEGER) AS cluster, ve AS ce
+        FROM v WHERE vec_id < 8
+    ),
+    scored AS (
+        SELECT v.vec_id, v.ve, c.cluster,
+               list_dot_product(v.ve, v.ve) AS sdot,
+               list_dot_product(c.ce, c.ce) AS cdot,
+               list_dot_product(v.ve, v.ve)
+                 - 2.0 * list_dot_product(v.ve, c.ce)
+                 + list_dot_product(c.ce, c.ce) AS d2,
+               CASE WHEN list_dot_product(v.ve, v.ve) = 0
+                         OR list_dot_product(c.ce, c.ce) = 0 THEN 0.0
+                    ELSE list_dot_product(v.ve, c.ce)
+                         / (sqrt(list_dot_product(v.ve, v.ve))
+                            * sqrt(list_dot_product(c.ce, c.ce))) END AS cosc
+        FROM v CROSS JOIN cent c
+    ),
+    assigned AS (
+        SELECT vec_id, ve, cluster, sdot, cosc FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d2, cluster) AS ar
+            FROM scored
+        ) WHERE ar = 1
+    ),
+    ranked AS (
+        SELECT vec_id, ve, cluster, sdot, cosc,
+               CAST(row_number() OVER (
+                   PARTITION BY cluster
+                   ORDER BY cosc DESC, vec_id ASC) AS BIGINT)
+               AS rank_in_cluster
+        FROM assigned
+    ),
+    pruned AS (
+        SELECT DISTINCT i.vec_id
+        FROM ranked i JOIN ranked j
+          ON i.cluster = j.cluster
+         AND j.rank_in_cluster < i.rank_in_cluster
+        WHERE (CASE WHEN i.sdot = 0 OR j.sdot = 0 THEN 0.0
+                    ELSE list_dot_product(i.ve, j.ve)
+                         / (sqrt(i.sdot) * sqrt(j.sdot)) END) >= 0.3
+    )
+    SELECT r.vec_id, r.cluster, r.rank_in_cluster,
+           p.vec_id IS NULL AS kept
+    FROM ranked r LEFT JOIN pruned p ON r.vec_id = p.vec_id
+    ORDER BY r.vec_id
+"""
+
+
+def q78_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (plans/graph.kcore — h-index fixpoint,
+    Montresor et al. 2013 / Lü et al. 2016) over the q54 composite
+    graph: the q22 entity graph (dense, clique-like, coreness up to 7
+    on the synthetic data) plus the q30 doc chain graph (coreness 1),
+    disjoint node spaces. The engine runs to the exact fixpoint
+    (converges in 7 rounds at every test SF); the oracle unrolls 12
+    rounds of the identical round body — a strict superset, and extra
+    rounds are no-ops at the fixpoint, so the comparison is exact.
+    All-BIGINT output (counts and mins of counts), no floats."""
+    from thesis_ner_co_tri_training_spark.plans.graph import kcore
+
+    ent = q22_triples(spark, sf_dir).select(
+        F.col("subj").alias("a"), F.col("obj").alias("b"))
+    edges = ent.unionByName(_doc_graph_edges(spark, sf_dir))
+    return kcore(edges, src="a", dst="b").orderBy("node")
+
+
+def _kcore_oracle_sql(rounds: int = 12) -> str:
+    """q78 oracle: the q54 edge CTEs -> symmetrized simple graph ->
+    degree init -> `rounds` unrolled h-index rounds (per round: join
+    cores onto sym edges, count per (node, neighbor_core), running
+    count over cores DESC, H = max(least(core, count_ge)))."""
+    body = ""
+    for i in range(1, rounds + 1):
+        body += f""",
+            r{i} AS MATERIALIZED (
+                SELECT node, CAST(max(least(ncore, cnt_ge)) AS BIGINT) AS core
+                FROM (
+                    SELECT u AS node, ncore,
+                           sum(cnt) OVER (
+                               PARTITION BY u ORDER BY ncore DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cnt_ge
+                    FROM (
+                        SELECT s.a AS u, p.core AS ncore, count(*) AS cnt
+                        FROM sym s JOIN r{i - 1} p ON s.b = p.node
+                        GROUP BY s.a, p.core
+                    )
+                ) GROUP BY node
+            )"""
+    return f"""
+        WITH t AS MATERIALIZED ({_Q22_SQL}),
+        docg AS MATERIALIZED (
+            SELECT lpad(CAST(x.doc_id AS VARCHAR), 8, '0') AS a,
+                   lpad(CAST(x.doc_id + 1 AS VARCHAR), 8, '0') AS b
+            FROM documents x
+            WHERE x.doc_id % 7 <> 6 AND EXISTS
+                (SELECT 1 FROM documents i WHERE i.doc_id = x.doc_id + 1)
+            UNION ALL
+            SELECT lpad(CAST(x.doc_id AS VARCHAR), 8, '0'),
+                   lpad(CAST(x.doc_id + 13 AS VARCHAR), 8, '0')
+            FROM documents x
+            WHERE x.doc_id % 50 = 0 AND EXISTS
+                (SELECT 1 FROM documents i WHERE i.doc_id = x.doc_id + 13)
+        ),
+        raw AS (SELECT subj AS a, obj AS b FROM t
+                UNION ALL SELECT a, b FROM docg),
+        c AS MATERIALIZED (
+            SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+            FROM raw WHERE a <> b
+        ),
+        sym AS MATERIALIZED (
+            SELECT a, b FROM c UNION ALL SELECT b AS a, a AS b FROM c
+        ),
+        r0 AS MATERIALIZED (
+            SELECT a AS node, CAST(count(*) AS BIGINT) AS core
+            FROM sym GROUP BY a
+        ){body}
+        SELECT node, core FROM r{rounds} ORDER BY node
+    """
+
+
 def q76_dag_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topological layering of the q75 condensation DAG (plans/graph.
     dag_longest_path_levels): level = longest-path length in edges from
@@ -2539,6 +2691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_passage_matches": q74_passage_matches,
         "q75_condensation": q75_condensation,
         "q76_dag_levels": q76_dag_levels,
+        "q77_semantic_dedup": q77_semantic_dedup,
+        "q78_kcore": q78_kcore,
     })
 
 
@@ -3755,4 +3909,6 @@ def oracle_sql() -> dict[str, str]:
         "q74_passage_matches": _Q74_SQL,
         "q75_condensation": _Q75_SQL,
         "q76_dag_levels": _Q76_SQL,
+        "q77_semantic_dedup": _Q77_SQL,
+        "q78_kcore": _kcore_oracle_sql(12),
     })

@@ -630,3 +630,118 @@ def test_max_bucket_guard_binds(spark):
         threshold=0.8).collect()}
     assert all(a != 2000 for a, b in got)      # boilerplate gated
     assert (2001, 1000) in got                 # real dup still found
+
+
+# ---------------------------------------------------------------- semantic
+
+
+def _semdedup_replay(vecs, centroids, threshold):
+    """Pure-Python replay of dedup.semantic_dedup's exact rule (same
+    sequential-fold arithmetic: dot, d2 = <v,v>-2<v,c>+<c,c>, argmin
+    with lowest-cluster ties, rank by cosc desc / id asc, prune on
+    cos >= threshold to ANY earlier-ranked clustermate)."""
+    def dot(u, v):
+        s = 0.0
+        for x, y in zip(u, v):
+            s += x * y
+        return s
+
+    vmap = dict(vecs)
+    assigned, cosc = {}, {}
+    cents = sorted(centroids, key=lambda t: t[0])
+    for i, u in vecs:
+        su = dot(u, u)
+        best = None
+        for c, ce in cents:
+            cs = dot(ce, ce)
+            d2 = su - 2.0 * dot(u, ce) + cs
+            if best is None or d2 < best[0]:
+                best = (d2, c, dot(u, ce), cs)
+        assigned[i] = best[1]
+        cosc[i] = (0.0 if su == 0 or best[3] == 0
+                   else best[2] / (math.sqrt(su) * math.sqrt(best[3])))
+    clusters = {}
+    for i, _ in vecs:
+        clusters.setdefault(assigned[i], []).append(i)
+    out = {}
+    for c, members in clusters.items():
+        members.sort(key=lambda i: (-cosc[i], i))
+        for idx, i in enumerate(members):
+            si = dot(vmap[i], vmap[i])
+            pruned = False
+            for j in members[:idx]:
+                sj = dot(vmap[j], vmap[j])
+                cij = (0.0 if si == 0 or sj == 0
+                       else dot(vmap[i], vmap[j])
+                       / (math.sqrt(si) * math.sqrt(sj)))
+                if cij >= threshold:
+                    pruned = True
+                    break
+            out[i] = (c, idx + 1, not pruned)
+    return out
+
+
+SEM_VECS = [
+    # cluster 0 chain: a1 -- a2 (cos .990) -- a3 (cos .970), a1-a3 .927
+    (1, [1.0, 0.0, 0.0]),
+    (2, [0.99, 0.14, 0.0]),
+    (3, [0.927, 0.375, 0.0]),
+    # cluster 1: similar but below threshold -> both kept
+    (4, [0.0, 1.0, 0.0]),
+    (5, [0.0, 0.9, 0.436]),
+    # zero vector: equidistant from both centroids -> lowest cluster,
+    # cosine defined as 0 -> always kept
+    (6, [0.0, 0.0, 0.0]),
+]
+SEM_CENTS = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+
+
+def test_semantic_dedup_matches_replay(spark):
+    from thesis_ner_co_tri_training_spark.operators.dedup import semantic_dedup
+
+    df = spark.createDataFrame(SEM_VECS, "vec_id long, embedding array<double>")
+    cent = spark.createDataFrame(SEM_CENTS,
+                                 "cluster int, centroid array<double>")
+    got = {r["vec_id"]: (r["cluster"], r["rank_in_cluster"], r["kept"])
+           for r in semantic_dedup(df, centroids=cent,
+                                   threshold=0.95).collect()}
+    want = _semdedup_replay(SEM_VECS, SEM_CENTS, 0.95)
+    assert got == want
+    # the scenario the fixture is built for:
+    assert got[1] == (0, 1, True)     # rank-1 always kept
+    assert got[2][2] is False         # pruned by 1
+    # 3 is pruned by 2 even though 2 itself was pruned (SemDeDup screens
+    # against earlier-RANKED items, not earlier-kept ones)
+    assert got[3][2] is False
+    assert got[4][2] and got[5][2]    # below threshold -> kept
+    assert got[6] == (0, 4, True)     # zero vector: tie -> cluster 0, kept
+
+
+def test_semantic_dedup_kmeans_path(spark):
+    """Production path (centroids=None) == explicit kmeans_centroids
+    centroids == pure-Python replay on the fitted centers."""
+    from thesis_ner_co_tri_training_spark.operators.dedup import (
+        kmeans_centroids, semantic_dedup)
+
+    df = spark.createDataFrame(SEM_VECS, "vec_id long, embedding array<double>")
+    cent = kmeans_centroids(df, nlist=3, seed=7)
+    crows = [(int(r["cluster"]), [float(x) for x in r["centroid"]])
+             for r in cent.collect()]
+    got_explicit = {r["vec_id"]: (r["cluster"], r["rank_in_cluster"], r["kept"])
+                    for r in semantic_dedup(df, centroids=cent,
+                                            threshold=0.95).collect()}
+    got_default = {r["vec_id"]: (r["cluster"], r["rank_in_cluster"], r["kept"])
+                   for r in semantic_dedup(df, nlist=3, seed=7,
+                                           threshold=0.95).collect()}
+    want = _semdedup_replay(SEM_VECS, crows, 0.95)
+    assert got_explicit == want
+    assert got_default == want
+
+
+def test_semantic_dedup_empty_centroids_raise(spark):
+    from thesis_ner_co_tri_training_spark.operators.dedup import semantic_dedup
+
+    df = spark.createDataFrame(SEM_VECS, "vec_id long, embedding array<double>")
+    empty = spark.createDataFrame([], "cluster int, centroid array<double>")
+    with pytest.raises(ValueError):
+        semantic_dedup(df, centroids=empty)

@@ -697,3 +697,85 @@ def test_scc_completes_in_exactly_max_rounds(spark):
     got = {r.node: r.scc_id
            for r in strongly_connected_components(df, max_rounds=1).collect()}
     assert got == {"a": "a", "b": "a"}
+
+
+# ------------------------------------------------------------------ k-core
+
+
+def _peel_coreness(edges):
+    """Pure-Python coreness oracle: classic sequential min-degree peel
+    over the undirected simple graph (self-loops dropped)."""
+    adj = {}
+    for a, b in edges:
+        if a == b or a is None or b is None:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    alive = set(adj)
+    core, k = {}, 0
+    while alive:
+        k = max(k, min(deg[v] for v in alive))
+        stack = [v for v in alive if deg[v] <= k]
+        while stack:
+            v = stack.pop()
+            if v not in alive:
+                continue
+            alive.discard(v)
+            core[v] = k
+            for u in adj[v]:
+                if u in alive:
+                    deg[u] -= 1
+                    if deg[u] <= k:
+                        stack.append(u)
+    return core
+
+
+def test_kcore_matches_peel_hand_graph(spark):
+    """K4 (core 3) + tail (core 1) + triangle (core 2); a self-loop-only
+    node is dropped like SCC drops it; direction and duplicate edges
+    must not matter."""
+    from thesis_ner_co_tri_training_spark.plans.graph import kcore
+
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("c", "d"),
+             ("d", "e"), ("e", "f"),
+             ("x", "y"), ("y", "z"), ("x", "z"),
+             ("z", "y"),            # reverse duplicate -> collapses
+             ("p", "p")]            # self-loop-only node -> absent
+    df = spark.createDataFrame(edges, "subj_id string, obj_id string")
+    got = {r["node"]: r["core"] for r in kcore(df).collect()}
+    want = _peel_coreness(edges)
+    assert got == want
+    assert got["a"] == 3 and got["f"] == 1 and got["x"] == 2
+    assert "p" not in got
+
+
+def test_kcore_matches_peel_random_graphs(spark):
+    import random
+
+    from thesis_ner_co_tri_training_spark.plans.graph import kcore
+
+    for seed in (1, 2, 7):
+        rnd = random.Random(seed)
+        n = 60
+        edges = list({(f"n{rnd.randrange(n)}", f"n{rnd.randrange(n)}")
+                      for _ in range(240)})
+        df = spark.createDataFrame(edges, "subj_id string, obj_id string")
+        got = {r["node"]: r["core"] for r in kcore(df).collect()}
+        assert got == _peel_coreness(edges), f"seed {seed}"
+
+
+def test_kcore_max_rounds_exact_and_raise(spark):
+    """Fixpoint reached in exactly max_rounds must not raise (the SCC
+    for-else regression class); one round fewer must raise. A 2-path's
+    h-index iteration: deg=(1,2,1) -> (1,1,1) [changed] -> (1,1,1)
+    [fixpoint detected], so it needs exactly 2 rounds."""
+    from thesis_ner_co_tri_training_spark.plans.graph import kcore
+
+    df = spark.createDataFrame([("a", "b"), ("b", "c")],
+                               "subj_id string, obj_id string")
+    got = {r["node"]: r["core"] for r in kcore(df, max_rounds=2).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}
+    with pytest.raises(RuntimeError):
+        kcore(df, max_rounds=1)

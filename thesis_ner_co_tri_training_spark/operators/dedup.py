@@ -922,3 +922,159 @@ def minhash_bands_narrow(df: DataFrame, id_col: str = "doc_id",
             for b in range(bands)
         ])).alias("band", "bucket"),
     )
+
+
+def kmeans_centroids(emb: DataFrame, nlist: int = 8,
+                     vec_col: str = "embedding", seed: int = 42,
+                     max_iter: int = 10) -> DataFrame:
+    """Production coarse quantizer for semantic_dedup: seeded MLlib
+    KMeans over the embedding column (the same quantizer simsearch's
+    ivf_topk fits), returned as the (cluster int, centroid
+    array<double>) relation semantic_dedup consumes. One MLlib pass at
+    corpus scale; the contract path substitutes a deterministic fixed
+    centroid set instead (q77) because MLlib cluster centers are not
+    engine-portable."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = emb.sparkSession
+    feats = emb.select(array_to_vector(
+        F.col(vec_col).cast("array<double>")).alias("__features"))
+    km = KMeans(k=nlist, seed=seed, maxIter=max_iter,
+                featuresCol="__features").fit(feats)
+    centers = [(i, [float(x) for x in c])
+               for i, c in enumerate(km.clusterCenters())]
+    return spark.createDataFrame(centers, "cluster int, centroid array<double>")
+
+
+def semantic_dedup(emb: DataFrame, centroids: DataFrame | None = None,
+                   nlist: int = 8, threshold: float = 0.82,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   seed: int = 42) -> DataFrame:
+    """SemDeDup-style embedding-cluster semantic dedup (Abbas et al.
+    2023, arXiv:2303.09540): cluster the corpus embeddings, then prune
+    near-duplicates WITHIN each cluster so the quadratic comparison is
+    bounded by cluster size, never all-pairs.
+
+    Rule (deterministic, engine-portable):
+      1. assign each vector to the nearest centroid by squared L2
+         (d2 = <v,v> - 2<v,c> + <c,c>; ties -> lowest cluster id);
+      2. rank cluster members by cosine-to-centroid DESC (ties ->
+         lowest id);
+      3. prune a member iff some EARLIER-ranked member of its cluster
+         has cosine >= threshold with it — SemDeDup's screening rule
+         (sort by similarity to centroid, drop an item when its max
+         cosine to the items ahead of it crosses the threshold). Each
+         cluster's rank-1 member is always kept.
+
+    centroids: (cluster int, centroid array<double>); None fits the
+    seeded MLlib quantizer (kmeans_centroids — production). The q77
+    contract path passes a FIXED centroid set (rows of the embeddings
+    table), which makes the whole operator DuckDB-expressible: every
+    dot product is the same sequential left fold on both engines (the
+    q17-proven recipe), so d2 / cosine doubles are bit-identical and
+    ranking + thresholding agree repr-exactly.
+
+    Rows with NULL/empty vectors are dropped (can't be clustered).
+    Output: (id_col, cluster int, rank_in_cluster bigint, kept boolean)
+    — integers/booleans only, no rounded floats in hashed columns.
+
+    Shape at 100 TB: centroid assignment is a ZERO-shuffle narrow map —
+    the nlist centroids are collected driver-side (scalar-bounded,
+    OPERATORS.md driver-action audit) and folded as literal arrays, so
+    the scan stays map-side; ranking is one cluster-keyed shuffle; the
+    screening self-join is keyed by cluster, so cost is sum(|cluster|^2)
+    — the paper's design point: nlist grows as N/target_cluster_size
+    (LAION runs use ~50k clusters). A pathologically hot cluster is
+    fixed by raising nlist, exactly like the LSH bucket guard.
+    """
+    from pyspark.sql import Window as W
+
+    if centroids is None:
+        centroids = kmeans_centroids(emb, nlist=nlist, vec_col=vec_col,
+                                     seed=seed)
+    # nlist rows, scalar-bounded driver action (like simsearch's
+    # clusterCenters collect) — buys a shuffle-free assignment stage.
+    crows = sorted(
+        ((int(r["cluster"]), [float(x) for x in r["centroid"]])
+         for r in centroids.select("cluster", "centroid").collect()),
+        key=lambda t: t[0],
+    )
+    if not crows:
+        raise ValueError("semantic_dedup: empty centroid set")
+    # <c,c> as a sequential Python fold — the same left-to-right IEEE
+    # adds as the engine/oracle folds, so the literal is bit-identical
+    # to DuckDB's list_dot_product(ce, ce).
+    def _self_dot(vec):
+        s = 0.0
+        for x in vec:
+            s += x * x
+        return s
+
+    cids = F.array(*[F.lit(c) for c, _ in crows])
+    cselfs = F.array(*[F.lit(_self_dot(v)) for _, v in crows])
+
+    def _dot_lit(vec):
+        lits = F.array(*[F.lit(x) for x in vec])
+        return F.aggregate(
+            F.zip_with(F.col("__v"), lits, lambda x, y: x * y),
+            F.lit(0.0), lambda a, x: a + x,
+        )
+
+    n = len(crows)
+    v = (
+        emb.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+        .select(F.col(id_col),
+                F.col(vec_col).cast("array<double>").alias("__v"))
+        .withColumn("__self", F.aggregate(
+            "__v", F.lit(0.0), lambda a, x: a + x * x))
+        .withColumn("__dots", F.array(*[_dot_lit(vec) for _, vec in crows]))
+        .withColumn("__d2s", F.zip_with(
+            "__dots", cselfs,
+            lambda d, cs: F.col("__self") - F.lit(2.0) * d + cs))
+        # argmin fold, strict < -> earliest (= lowest cluster id) wins ties
+        .withColumn("__best", F.aggregate(
+            F.sequence(F.lit(1), F.lit(n)),
+            F.struct(F.lit(0).alias("i"),
+                     F.lit(float("inf")).alias("d")),
+            lambda acc, i: F.when(
+                F.element_at(F.col("__d2s"), i) < acc["d"],
+                F.struct(i.alias("i"),
+                         F.element_at(F.col("__d2s"), i).alias("d")),
+            ).otherwise(acc)))
+        .withColumn("cluster", F.element_at(cids, F.col("__best.i")))
+        .withColumn("__cdot", F.element_at("__dots", F.col("__best.i")))
+        .withColumn("__cself", F.element_at(cselfs, F.col("__best.i")))
+        .withColumn("__cosc", F.when(
+            (F.col("__self") == 0) | (F.col("__cself") == 0), F.lit(0.0)
+        ).otherwise(F.col("__cdot")
+                    / (F.sqrt("__self") * F.sqrt("__cself"))))
+        .select(id_col, "cluster", "__v", "__self", "__cosc")
+    )
+    wr = W.partitionBy("cluster").orderBy(F.col("__cosc").desc(),
+                                          F.col(id_col).asc())
+    ranked = v.withColumn(
+        "rank_in_cluster", F.row_number().over(wr).cast("long"))
+    i, j = ranked.alias("i"), ranked.alias("j")
+    pair_dot = F.aggregate(
+        F.zip_with(F.col("i.__v"), F.col("j.__v"), lambda x, y: x * y),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    pair_cos = F.when(
+        (F.col("i.__self") == 0) | (F.col("j.__self") == 0), F.lit(0.0)
+    ).otherwise(
+        pair_dot / (F.sqrt(F.col("i.__self")) * F.sqrt(F.col("j.__self"))))
+    pruned = (
+        i.join(j, (F.col("i.cluster") == F.col("j.cluster"))
+               & (F.col("j.rank_in_cluster") < F.col("i.rank_in_cluster")))
+        .filter(pair_cos >= F.lit(threshold))
+        .select(F.col(f"i.{id_col}").alias("__pruned_id"))
+        .distinct()
+    )
+    return (
+        ranked.join(pruned,
+                    F.col(id_col) == F.col("__pruned_id"), "left")
+        .select(F.col(id_col), F.col("cluster"), F.col("rank_in_cluster"),
+                F.col("__pruned_id").isNull().alias("kept"))
+    )

@@ -867,3 +867,90 @@ def dag_longest_path_levels(edges: DataFrame, src: str = "src_scc",
     raise RuntimeError(
         "dag_longest_path_levels: no fixpoint within "
         f"max_iter={max_iter} rounds — cyclic input or deeper DAG")
+
+
+def kcore(edges: DataFrame, src: str = "subj_id", dst: str = "obj_id",
+          max_rounds: int = 100,
+          checkpoint_every: int = 2) -> DataFrame:
+    """k-core decomposition (coreness per node) of the UNDIRECTED
+    simple graph induced by the edge list, via the h-index fixpoint
+    (Lü et al. 2016 "The H-index of a network node"; distributed form:
+    Montresor et al. 2013): start every node at its degree, then
+    repeatedly set core(v) = H({core(u) : u ~ v}) — the largest h such
+    that at least h neighbors currently have core >= h. The sequence is
+    pointwise non-increasing (H of the neighborhood is bounded by the
+    degree) and its fixpoint is exactly the coreness, the same numbers
+    the sequential min-degree peel produces (tests pin it to a
+    pure-Python peel on hand-built and seeded random graphs).
+
+    Self-loops are dropped and direction/duplicates collapse to a
+    canonical undirected simple edge set before degrees are taken —
+    peel semantics are about NEIGHBORS, not edge multiplicity.
+
+    Per round the h-index is computed WITHOUT per-node arrays (a
+    collect_list of a power-law hub's neighborhood is exactly the skew
+    bomb to avoid at web scale): join current cores onto the
+    symmetrized edges, groupBy (node, neighbor_core) count — map-side
+    combinable, so a 10^8-degree hub arrives pre-reduced to at most
+    #distinct-core-values rows — then one per-node window over those
+    distinct values computes H = max(min(c, #neighbors with core >= c))
+    (f(c) is a step function, so checking the distinct values is
+    exhaustive). Two keyed shuffles per round, the star-CC shape;
+    convergence probe is a scalar count; localCheckpoint cadence cuts
+    iterative lineage. Rounds-to-fixpoint is bounded by the graph's
+    degeneracy ordering depth — small on web graphs.
+
+    Output: (node, core BIGINT). Raises past max_rounds (exact
+    semantics, never a silently unconverged estimate). q78
+    DuckDB-oracles the full loop: the oracle unrolls a fixed round
+    budget of the identical round body, which equals the fixpoint
+    whenever the engine converged within that budget (extra oracle
+    rounds are no-ops at the fixpoint).
+    """
+    from pyspark.sql import Window as W
+
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b")))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+
+    cur = (
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.count("*").cast("long").alias("core"))
+        .localCheckpoint(eager=True)
+    )
+    w = (
+        W.partitionBy("node").orderBy(F.col("ncore").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    for i in range(1, max_rounds + 1):
+        counted = (
+            sym.join(cur.withColumnRenamed("node", "b")
+                        .withColumnRenamed("core", "ncore"), "b")
+            .groupBy(F.col("a").alias("node"), "ncore")
+            .agg(F.count("*").alias("cnt"))
+        )
+        new = (
+            counted.withColumn("cnt_ge", F.sum("cnt").over(w))
+            .groupBy("node")
+            .agg(F.max(F.least(F.col("ncore"), F.col("cnt_ge")))
+                 .cast("long").alias("core"))
+        )
+        if i % checkpoint_every == 0:
+            new = new.localCheckpoint(eager=True)
+        changed = (
+            new.join(cur.withColumnRenamed("core", "__old"), "node")
+            .filter(F.col("core") != F.col("__old"))
+            .limit(1).count()
+        )
+        cur = new
+        if changed == 0:
+            return cur
+    raise RuntimeError(
+        f"kcore: no fixpoint within max_rounds={max_rounds}")
