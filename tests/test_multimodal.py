@@ -183,3 +183,181 @@ def test_degenerate_ppm_headers_are_decode_errors():
         _decode_ppm(b"P6\n2 2\n65535\n" + b"\x00" * 24)
     with pytest.raises(ValueError, match="truncated"):
         _decode_ppm(b"P6\n4 4\n255\n" + b"\x00" * 10)
+
+
+# ---------------------------------------------------------------------- png
+
+
+def _replay_png(payload):
+    """Pure-Python PNG replay decoder (ints + zlib, no numpy): shares no
+    code with either _decode_png or gen_png. Returns list-of-rows of
+    per-pixel channel tuples."""
+    import zlib
+
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, ihdr, idat = 8, None, b""
+    while pos + 8 <= len(payload):
+        size = int.from_bytes(payload[pos:pos + 4], "big")
+        cid = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"IHDR":
+            ihdr = body
+        elif cid == b"IDAT":
+            idat += body
+        pos += 12 + size
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    ch = {0: 1, 2: 3, 6: 4}[ihdr[9]]
+    raw = zlib.decompress(idat)
+    stride = w * ch
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    rows, prev, pos = [], [0] * stride, 0
+    for _ in range(h):
+        f = raw[pos]
+        line = list(raw[pos + 1:pos + 1 + stride])
+        pos += 1 + stride
+        cur = [0] * stride
+        for x in range(stride):
+            left = cur[x - ch] if x >= ch else 0
+            up = prev[x]
+            ul = prev[x - ch] if x >= ch else 0
+            pred = (0, left, up, (left + up) >> 1, paeth(left, up, ul))[f]
+            cur[x] = (line[x] + pred) & 0xFF
+        rows.append([tuple(cur[i * ch:(i + 1) * ch]) for i in range(w)])
+        prev = cur
+    return rows
+
+
+def _png_u8(img):
+    return (img * 255).round().astype(int)
+
+
+def test_decode_png_bit_exact_all_filters():
+    """Default gen_png cycles filters 0..4, so one 16x12 fixture hits
+    every unfilter branch; the numpy decode must equal BOTH the source
+    gradient and the independent pure-Python replay, bit-exact."""
+    from thesis_ner_co_tri_training_spark.operators.multimodal import (
+        decode_image, gen_png)
+
+    png = gen_png(16, 12, seed=3)
+    img = _png_u8(decode_image(png))
+    assert img.shape == (12, 16, 3)
+    replay = _replay_png(png)
+    for y in range(12):
+        for x in range(16):
+            want = ((x * 16 + 3) % 256, (y * 21 + 6) % 256, (x + y + 3) % 256)
+            assert tuple(img[y, x]) == want == replay[y][x]
+
+
+def test_decode_png_each_filter_roundtrips():
+    from thesis_ner_co_tri_training_spark.operators.multimodal import (
+        decode_image, gen_png)
+
+    for f in range(5):
+        png = gen_png(9, 7, seed=f, filters=[f] * 7)
+        img = _png_u8(decode_image(png))
+        assert tuple(img[6, 8]) == (
+            (8 * 16 + f) % 256, (6 * 21 + 2 * f) % 256,
+            (8 + 6 + f) % 256), f"filter {f}"
+        replay = _replay_png(png)
+        for y in range(7):
+            for x in range(9):
+                assert tuple(img[y, x]) == replay[y][x], f"filter {f}"
+
+
+def test_decode_png_rgba_and_gray():
+    """RGBA decodes its color planes (alpha dropped); gray broadcasts
+    to 3 identical channels."""
+    from thesis_ner_co_tri_training_spark.operators.multimodal import (
+        decode_image, gen_png)
+
+    rgba = _png_u8(decode_image(gen_png(8, 6, seed=5, color_type=6)))
+    for y in range(6):
+        for x in range(8):
+            assert tuple(rgba[y, x]) == (
+                (x * 16 + 5) % 256, (y * 21 + 10) % 256, (x + y + 5) % 256)
+    gray = _png_u8(decode_image(gen_png(8, 6, seed=5, color_type=0)))
+    for y in range(6):
+        for x in range(8):
+            g = (x * 16 + 5) % 256
+            assert tuple(gray[y, x]) == (g, g, g)
+
+
+def _mutate_ihdr(png, offset_in_body, value):
+    """Flip one IHDR byte and re-sign the chunk CRC (valid-CRC negative
+    fixtures for depth/interlace/color-type)."""
+    import struct
+    import zlib
+
+    body = bytearray(png[16:29])
+    body[offset_in_body] = value
+    crc = struct.pack(">I", zlib.crc32(b"IHDR" + bytes(body)) & 0xFFFFFFFF)
+    return png[:16] + bytes(body) + crc + png[33:]
+
+
+def test_decode_png_unsupported_variants_raise():
+    import pytest
+
+    from thesis_ner_co_tri_training_spark.operators.multimodal import (
+        _decode_png, gen_png)
+
+    png = gen_png(6, 4, seed=1)
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        _decode_png(_mutate_ihdr(png, 8, 16))     # bit depth 16
+    with pytest.raises(NotImplementedError, match="interlace"):
+        _decode_png(_mutate_ihdr(png, 12, 1))     # Adam7
+    with pytest.raises(NotImplementedError, match="color type"):
+        _decode_png(_mutate_ihdr(png, 9, 3))      # palette
+
+
+def test_decode_png_corruption_raises():
+    import pytest
+
+    from thesis_ner_co_tri_training_spark.operators.multimodal import (
+        _decode_png, gen_png)
+
+    png = gen_png(6, 4, seed=2)
+    # flip one IDAT byte WITHOUT re-signing -> crc mismatch
+    bad = bytearray(png)
+    bad[41] ^= 0xFF
+    with pytest.raises(ValueError, match="crc"):
+        _decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_png(png[:-8])
+    # valid chunks, wrong pixel-stream length: re-sign an IDAT that
+    # inflates short
+    import struct
+    import zlib as z
+
+    short = z.compress(b"\x00" * 5)
+    idat = (struct.pack(">I", len(short)) + b"IDAT" + short
+            + struct.pack(">I", z.crc32(b"IDAT" + short) & 0xFFFFFFFF))
+    iend = png[png.rindex(b"IEND") - 4:]
+    with pytest.raises(ValueError, match="pixel stream"):
+        _decode_png(png[:33] + idat + iend)
+
+
+def test_extract_features_png_row(spark):
+    """PNG payloads ride the REAL decode path in the distributed stage:
+    decode_error null, features == the local decode, bit-exact."""
+    import pytest
+
+    from thesis_ner_co_tri_training_spark.operators.multimodal import (
+        decode_image, extract_features, gen_png, image_features)
+
+    png = gen_png(16, 12, seed=9)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png))],
+        "media_id long, kind string, payload binary")
+    row = extract_features(media, dim=8).collect()[0]
+    assert row["decode_error"] is None
+    want = image_features(decode_image(png), 8)
+    assert [float(x) for x in row["feat"]] == [
+        pytest.approx(wv, abs=1e-6) for wv in want]
