@@ -1235,6 +1235,64 @@ def q56_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                                sources=srcs).orderBy("node")
 
 
+def q79_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus assembly to a 20k-token budget measured in REAL tokenizer
+    tokens, not whitespace words: token_counts(tokenizer="bpe") computes
+    the exact greedy-BPE count of every document under functions/bpe.py's
+    pinned GPT-2-format merges table — entirely JVM-side via the
+    wrapped-symbol replace chain (each ranked merge is one literal
+    replace; see the bpe.py module docstring for the sweep==loop
+    equivalence argument) — then fill_token_budget orders docs by the md5
+    fate and keeps the prefix (the q57 semantics on BPE counts). The
+    IDENTICAL replace chain runs verbatim in the DuckDB oracle, so even
+    the tokenizer itself is repr-exact cross-engine. VERDICT r4 item 7.
+    """
+    from thesis_ner_co_tri_training_spark.operators.selection import (
+        fill_token_budget)
+    from thesis_ner_co_tri_training_spark.operators.textstats import (
+        token_counts)
+
+    docs = token_counts(
+        _t(spark, sf_dir, "documents"), tokenizer="bpe"
+    ).select("doc_id", "n_bpe")
+    return (
+        fill_token_budget(docs, budget=20_000, tokens_col="n_bpe")
+        .select("doc_id", "n_bpe", "cum_tokens", "kept")
+        .orderBy("doc_id")
+    )
+
+
+def _q79_sql() -> str:
+    from thesis_ner_co_tri_training_spark.functions.bpe import (
+        bpe_count_from_enc_sql, bpe_oracle_expr)
+
+    return f"""
+        WITH enc AS (
+            SELECT doc_id, {bpe_oracle_expr('text')} AS e FROM documents
+        ),
+        base AS (
+            SELECT doc_id, {bpe_count_from_enc_sql('e')} AS n_bpe FROM enc
+        ),
+        fated AS (
+            SELECT doc_id, n_bpe,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|42'),
+                                   1, 15))::BIGINT AS fate
+            FROM base
+        ),
+        c AS (
+            SELECT doc_id, n_bpe,
+                   CAST(sum(n_bpe) OVER (
+                       ORDER BY fate, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS cum_tokens
+            FROM fated
+        )
+        SELECT doc_id, n_bpe, cum_tokens,
+               (cum_tokens - n_bpe) < 20000 AS kept
+        FROM c ORDER BY doc_id
+    """
+
+
 def q57_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus assembly to a 10k-token budget
     (selection.fill_token_budget): docs ordered by a pure md5 fate of
@@ -2582,16 +2640,17 @@ _QUERY_ORDER = [
     "q69_hits", "q70_novelty", "q71_crawl_budget", "q72_winnowing",
     "q73_scc", "q74_passage_matches", "q75_condensation", "q76_dag_levels",
     # --- new in round 5 ---
-    "q77_semantic_dedup", "q78_kcore",
-    # --- 22 of q01-q50 (green in r3+r4) filling the 50-entry window ---
+    "q77_semantic_dedup", "q78_kcore", "q79_bpe_budget",
+    # --- 21 of q01-q50 (green in r3+r4) filling the 50-entry window ---
     "q01_pricing_summary", "q02_top_customers", "q04_topn_per_pool",
     "q05_avg_cfd", "q06_cosine_adjacent", "q07_tag_rename",
     "q08_teachable", "q09_arbitration", "q10_sessionize",
     "q19_minhash_pairs", "q21_mentions", "q22_triples", "q23_prf",
     "q25_exact_dedup", "q26_error_rates", "q27_extend_labeled",
     "q28_paragraph_dedup", "q36_minhash_md5", "q39_ann_ivf",
-    "q45_salted_agg", "q46_near_dup_clusters", "q50_decontaminate",
+    "q45_salted_agg", "q46_near_dup_clusters",
     # --- past the driver's 50-entry window (still in the local gate) ---
+    "q50_decontaminate",
     "q03_nation_rollup", "q11_fingerprints", "q12_ngram_jaccard",
     "q13_lang_id", "q14_quality", "q15_token_counts",
     "q16_embedding_topk", "q17_embedding_near_dups", "q18_events_hourly",
@@ -2693,6 +2752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_dag_levels": q76_dag_levels,
         "q77_semantic_dedup": q77_semantic_dedup,
         "q78_kcore": q78_kcore,
+        "q79_bpe_budget": q79_bpe_budget,
     })
 
 
@@ -3911,4 +3971,5 @@ def oracle_sql() -> dict[str, str]:
         "q76_dag_levels": _Q76_SQL,
         "q77_semantic_dedup": _Q77_SQL,
         "q78_kcore": _kcore_oracle_sql(12),
+        "q79_bpe_budget": _q79_sql(),
     })

@@ -51,10 +51,18 @@ def tokens_col(text_col: str = "text") -> Column:
     return F.split(F.trim(F.lower(F.col(text_col))), _WORD_SPLIT)
 
 
-def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+def token_counts(df: DataFrame, text_col: str = "text",
+                 tokenizer: str = "regex") -> DataFrame:
     """n_tokens (whitespace), n_distinct_tokens, n_bpe_ish (regex splits
     that approximate sub-word boundaries: runs of letters OR digits OR a
-    single other symbol — a BPE-ish upper bound)."""
+    single other symbol — a BPE-ish upper bound).
+
+    tokenizer="bpe" additionally emits `n_bpe`: the EXACT greedy-BPE
+    token count under functions/bpe.py's pinned merges table — still
+    pure JVM string expressions (the wrapped-replace chain), so budgets
+    measured in real tokenizer tokens cost no Python stage (q79)."""
+    if tokenizer not in ("regex", "bpe"):
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
     toks = tokens_col(text_col)
     bpe_ish = F.size(
         F.filter(
@@ -62,12 +70,16 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
             lambda t: F.trim(t) != "",
         )
     )
-    return df.withColumns({
+    out = df.withColumns({
         "n_tokens": F.size(F.filter(toks, lambda t: t != "")),
         "n_distinct_tokens": F.size(F.array_distinct(F.filter(toks, lambda t: t != ""))),
         "n_bpe_ish": bpe_ish,
         "n_chars_measured": F.length(text_col),
     })
+    if tokenizer == "bpe":
+        from ..functions.bpe import bpe_count_col
+        out = out.withColumn("n_bpe", bpe_count_col(text_col))
+    return out
 
 
 def stopword_ratios(df: DataFrame, text_col: str = "text") -> DataFrame:
