@@ -2458,7 +2458,13 @@ def q77_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from thesis_ner_co_tri_training_spark.operators.dedup import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id") < 8).select(
+    # filter BEFORE picking centroid rows, exactly like the oracle's
+    # cent-FROM-v CTE — a null/empty embedding at vec_id < 8 must fall
+    # out of the centroid set on both engines, not crash the collect
+    cent = emb.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+        & (F.col("vec_id") < 8)
+    ).select(
         F.col("vec_id").cast("int").alias("cluster"),
         F.col("embedding").cast("array<double>").alias("centroid"),
     )
@@ -2626,9 +2632,10 @@ def q74_passage_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round 4, snapshot still q01-q50). Every query is checked independently
 # against its own DuckDB oracle_sql() — no stored driver baselines — so
 # insertion order is free to rotate. Round 5 puts q51+ first so they gain
-# driver rows (r3/r4 snapshots already cover q01-q50), followed by the 24
-# highest-operator-coverage queries from q01-q50; names, semantics, and
-# oracles stay byte-frozen.
+# driver rows (r3/r4 snapshots already cover q01-q50): the 50-entry
+# window holds q51-q79 (29 queries) followed by the 21 highest-operator-
+# coverage queries from q01-q50; names, semantics, and oracles stay
+# byte-frozen.
 _QUERY_ORDER = [
     # --- never snapshotted by the driver before round 5 ---
     "q51_range_join", "q52_cohort_retention", "q53_quality_prune",

@@ -39,12 +39,14 @@ sys.path.insert(0, REPO)
 
 
 def _per_domain(df, col="n"):
+    # the scheduler's own domain extractor — the evidence must measure
+    # the same domain partition the apportionment uses
+    from jobs.run_crawl_cycle import _domain
     from pyspark.sql import functions as F
 
     return {
         r["domain"]: r[col]
-        for r in df.withColumn(
-            "domain", F.regexp_extract("url", r"https?://([^/]+)/", 1))
+        for r in df.withColumn("domain", _domain(F.col("url")))
         .groupBy("domain").agg(F.count(F.lit(1)).alias(col)).collect()
     }
 

@@ -116,11 +116,9 @@ def test_documents_table_parity(spark):
     assert len(rows) > 0
     for r in rows:
         assert r["n_bpe"] == bpe_token_count(r["text"]), r["doc_id"]
-    # BPE merges only ever shrink the per-word char count and every
-    # merge result is at least one symbol per word: bounds vs n_tokens
-    counted = token_counts(docs, tokenizer="bpe").select(
-        "n_tokens", "n_bpe").collect()
-    assert all(r["n_bpe"] >= 0 for r in counted)
+    # the row-by-row equality above pins n_bpe exactly to the pure-
+    # Python twin, which subsumes any bpe-vs-regex-token bound — no
+    # second (weaker) assertion pass needed
 
 
 def test_token_counts_rejects_unknown_tokenizer(spark):

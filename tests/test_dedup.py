@@ -745,3 +745,46 @@ def test_semantic_dedup_empty_centroids_raise(spark):
     empty = spark.createDataFrame([], "cluster int, centroid array<double>")
     with pytest.raises(ValueError):
         semantic_dedup(df, centroids=empty)
+
+
+def test_semantic_dedup_drops_nonfinite_vectors(spark):
+    """One poisoned embedding (NaN/inf component, or NULL/empty) must
+    fall out of the result — not crash the job: pre-fix, an all-NaN
+    distance row made the strict-< argmin keep index 0 and
+    element_at(..., 0) raised INVALID_INDEX_OF_ZERO under ANSI."""
+    from thesis_ner_co_tri_training_spark.operators.dedup import semantic_dedup
+
+    bad = [
+        (100, [float("nan"), 1.0, 0.0]),
+        (101, [float("inf"), 0.0, 0.0]),
+        (102, [0.0, float("-inf"), 0.0]),
+        (103, None),
+        (104, []),
+    ]
+    df = spark.createDataFrame(SEM_VECS + bad,
+                               "vec_id long, embedding array<double>")
+    cent = spark.createDataFrame(SEM_CENTS,
+                                 "cluster int, centroid array<double>")
+    got = {r["vec_id"]: (r["cluster"], r["rank_in_cluster"], r["kept"])
+           for r in semantic_dedup(df, centroids=cent,
+                                   threshold=0.95).collect()}
+    # clean rows unchanged, poisoned rows absent
+    assert got == _semdedup_replay(SEM_VECS, SEM_CENTS, 0.95)
+
+
+def test_semantic_dedup_join_path_matches_literal(spark):
+    """The large-nlist broadcast-join assignment (literal_nlist_max
+    exceeded) must produce exactly the literal fold's output — same
+    sequential-fold doubles, same nearest/tie rule."""
+    from thesis_ner_co_tri_training_spark.operators.dedup import semantic_dedup
+
+    df = spark.createDataFrame(SEM_VECS, "vec_id long, embedding array<double>")
+    cent = spark.createDataFrame(SEM_CENTS,
+                                 "cluster int, centroid array<double>")
+    lit = {r["vec_id"]: (r["cluster"], r["rank_in_cluster"], r["kept"])
+           for r in semantic_dedup(df, centroids=cent,
+                                   threshold=0.95).collect()}
+    joined = {r["vec_id"]: (r["cluster"], r["rank_in_cluster"], r["kept"])
+              for r in semantic_dedup(df, centroids=cent, threshold=0.95,
+                                      literal_nlist_max=1).collect()}
+    assert joined == lit == _semdedup_replay(SEM_VECS, SEM_CENTS, 0.95)

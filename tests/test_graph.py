@@ -779,3 +779,15 @@ def test_kcore_max_rounds_exact_and_raise(spark):
     assert got == {"a": 1, "b": 1, "c": 1}
     with pytest.raises(RuntimeError):
         kcore(df, max_rounds=1)
+
+
+def test_kcore_checkpoint_every_zero_disables(spark):
+    """checkpoint_every=0 means 'never checkpoint' (the 0=disable
+    convention the jobs establish), not ZeroDivisionError."""
+    from thesis_ner_co_tri_training_spark.plans.graph import kcore
+
+    df = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "a")],
+                               "subj_id string, obj_id string")
+    got = {r["node"]: r["core"]
+           for r in kcore(df, checkpoint_every=0).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}

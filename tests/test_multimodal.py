@@ -344,6 +344,47 @@ def test_decode_png_corruption_raises():
         _decode_png(png[:33] + idat + iend)
 
 
+def test_decode_png_bomb_and_forged_dims_bounded():
+    """Hostile payloads must land in per-row decode_error, bounded:
+    (a) a ~200 KB IDAT that inflates to 200 MB is rejected after at
+    most the IHDR-declared stream size is produced (pre-fix, the full
+    bomb materialized before the length check — executor OOM);
+    (b) a forged IHDR declaring absurd dimensions is rejected before it
+    can size any allocation."""
+    import struct
+    import tracemalloc
+    import zlib as z
+
+    import pytest
+
+    from thesis_ner_co_tri_training_spark.operators.multimodal import (
+        _PNG_SIG, _decode_png)
+
+    def chunk(cid, body):
+        return (struct.pack(">I", len(body)) + cid + body
+                + struct.pack(">I", z.crc32(cid + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    bomb = (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", z.compress(b"\x00" * (200 * 1024 * 1024), 9))
+            + chunk(b"IEND", b""))
+    tracemalloc.start()
+    try:
+        with pytest.raises(ValueError, match="exceeds the declared"):
+            _decode_png(bomb)
+        _, peak = tracemalloc.get_traced_memory()
+    finally:
+        tracemalloc.stop()
+    assert peak < 8 * 1024 * 1024, f"bomb inflated {peak} bytes"
+
+    huge_ihdr = struct.pack(">IIBBBBB", 100_000, 100_000, 8, 2, 0, 0, 0)
+    huge = (_PNG_SIG + chunk(b"IHDR", huge_ihdr)
+            + chunk(b"IDAT", z.compress(b"\x00" * 64))
+            + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="decode cap"):
+        _decode_png(huge)
+
+
 def test_extract_features_png_row(spark):
     """PNG payloads ride the REAL decode path in the distributed stage:
     decode_error null, features == the local decode, bit-exact."""

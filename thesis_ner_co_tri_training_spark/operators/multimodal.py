@@ -107,6 +107,10 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# hard cap on IHDR-declared pixel count (64 Mpx ~= 192 MB decoded RGB):
+# decode runs per-row on untrusted payloads inside mapInPandas workers,
+# so a forged width/height must not size an allocation
+_PNG_MAX_PIXELS = 1 << 26
 
 
 def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
@@ -167,8 +171,9 @@ def _decode_png(payload: bytes) -> np.ndarray:
     """8-bit gray/RGB/RGBA PNG -> float32 (h, w, 3) in [0, 1].
 
     Entirely sandbox-native: chunk walk + CRC verify (zlib.crc32), IDAT
-    inflate (zlib.decompress — PNG compression IS zlib/DEFLATE, no
-    libpng needed), then `_png_unfilter`. Gray broadcasts to 3 channels;
+    inflate (stdlib zlib, bounded by the IHDR-declared stream size —
+    PNG compression IS zlib/DEFLATE, no libpng needed), then
+    `_png_unfilter`. Gray broadcasts to 3 channels;
     RGBA drops alpha (features are computed on color planes). The rare
     variants stay honest decode_errors: 16-bit depth, palette (color
     type 3) and Adam7 interlace raise NotImplementedError; corrupt
@@ -222,10 +227,30 @@ def _decode_png(payload: bytes) -> np.ndarray:
         raise NotImplementedError(
             f"PNG color type {color_type} not supported "
             "(palette needs PLTE indexing)")
+    if w * h > _PNG_MAX_PIXELS:
+        # a forged IHDR must not size downstream allocations
+        raise ValueError(
+            f"png declares {w}x{h} pixels, over the "
+            f"{_PNG_MAX_PIXELS}-pixel decode cap")
+    # Bound the inflate by the IHDR-declared pixel-stream size: plain
+    # zlib.decompress would materialize a decompression bomb in full
+    # (a ~200 KB IDAT can inflate to hundreds of MB) before the length
+    # check below ever ran, OOMing the executor instead of landing in
+    # the per-row decode_error column.
+    expected = h * (w * channels + 1)
     try:
-        raw = zlib.decompress(b"".join(idat))
+        dec = zlib.decompressobj()
+        raw = dec.decompress(b"".join(idat), expected)
+        # one-byte probe: any further output means the stream inflates
+        # past the declared size (flush() must NOT be used here — its
+        # argument is only an initial buffer size and it would inflate
+        # the whole remainder)
+        extra = dec.decompress(dec.unconsumed_tail, 1)
     except zlib.error as e:
         raise ValueError(f"png IDAT inflate failed: {e}") from e
+    if extra:
+        raise ValueError(
+            f"png pixel stream exceeds the declared {expected} bytes")
     img = _png_unfilter(raw, h, w, channels)
     if channels == 1:
         img = np.repeat(img, 3, axis=2)

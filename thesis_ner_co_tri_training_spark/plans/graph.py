@@ -942,7 +942,7 @@ def kcore(edges: DataFrame, src: str = "subj_id", dst: str = "obj_id",
             .agg(F.max(F.least(F.col("ncore"), F.col("cnt_ge")))
                  .cast("long").alias("core"))
         )
-        if i % checkpoint_every == 0:
+        if checkpoint_every and i % checkpoint_every == 0:
             new = new.localCheckpoint(eager=True)
         changed = (
             new.join(cur.withColumnRenamed("core", "__old"), "node")
