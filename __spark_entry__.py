@@ -1262,6 +1262,129 @@ def q79_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q80_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (selection.pack_sequences): shuffle
+    docs by the md5 fate (the q57/q79 corpus-assembly order), concat
+    their token streams, slice at fixed 512-token context boundaries,
+    and report each doc's window span (start_offset, first/last window,
+    windows spanned). The cumsum is the q57 distributed prefix sum; the
+    window math is pure BIGINT projection (DIV on both engines), so the
+    whole op is repr-exact vs DuckDB. Zero-token docs carry NULL window
+    columns (they occupy no window) but are still emitted."""
+    from thesis_ner_co_tri_training_spark.operators.selection import (
+        pack_sequences)
+    from thesis_ner_co_tri_training_spark.operators.textstats import (
+        token_counts)
+
+    docs = token_counts(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
+    return (
+        pack_sequences(docs, context_len=512)
+        .select("doc_id", "n_tokens", "start_offset", "first_window",
+                "last_window", "n_windows")
+        .orderBy("doc_id")
+    )
+
+
+def q81_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling with exact allocation
+    (selection.stratified_sample): per-source quotas sized by
+    largest-remainder apportionment over stratum row counts (the q71
+    machinery — sum(quota) == 197 exactly), then each stratum keeps its
+    md5-fate-ranked top-quota docs. Every quantity is BIGINT and the
+    fate order is the engine-portable md5 recipe, so the drawn sample
+    is repr-exact vs DuckDB — unlike any Bernoulli sampleBy(), which
+    only hits quotas in expectation and moves with partition layout."""
+    from thesis_ner_co_tri_training_spark.operators.selection import (
+        stratified_sample)
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, total=197, stratum_col="source",
+                          key_col="doc_id")
+        .select("doc_id", "source", "rank_in_stratum", "alloc", "kept")
+        .orderBy("doc_id")
+    )
+
+
+_Q81_SQL = """
+    WITH w AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS wt
+        FROM documents GROUP BY source
+    ), tot AS (SELECT sum(wt) AS t FROM w),
+    base AS (
+        SELECT source,
+               CAST((197 * wt) // t AS BIGINT) AS b,
+               CAST((197 * wt) % t AS BIGINT) AS r
+        FROM w, tot
+    ), used AS (SELECT sum(b) AS u FROM base),
+    rankedq AS (
+        SELECT source, b, r,
+               row_number() OVER (ORDER BY r DESC, source) AS rk
+        FROM base
+    ),
+    alloc AS (
+        SELECT source,
+               CAST(b + CASE WHEN rk <= 197 - u.u THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc
+        FROM rankedq, used u
+    ),
+    fated AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|42'),
+                               1, 15))::BIGINT AS fate
+        FROM documents
+    ),
+    rk AS (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (
+                   PARTITION BY source ORDER BY fate, doc_id
+               ) AS BIGINT) AS rank_in_stratum
+        FROM fated
+    )
+    SELECT rk.doc_id, rk.source, rk.rank_in_stratum, a.alloc,
+           rk.rank_in_stratum <= a.alloc AS kept
+    FROM rk JOIN alloc a USING (source)
+    ORDER BY doc_id
+"""
+
+
+_Q80_SQL = """
+    WITH base AS (
+        SELECT doc_id,
+               CAST(len(list_filter(
+                   string_split(lower(trim(text)), ' '),
+                   t -> t <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    fated AS (
+        SELECT doc_id, n_tokens,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|42'),
+                               1, 15))::BIGINT AS fate
+        FROM base
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (
+                   ORDER BY fate, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        FROM fated
+    )
+    SELECT doc_id, n_tokens,
+           cum_tokens - n_tokens AS start_offset,
+           CASE WHEN n_tokens = 0 THEN NULL
+                ELSE (cum_tokens - n_tokens) // 512 END AS first_window,
+           CASE WHEN n_tokens = 0 THEN NULL
+                ELSE (cum_tokens - 1) // 512 END AS last_window,
+           CASE WHEN n_tokens = 0 THEN NULL
+                ELSE (cum_tokens - 1) // 512
+                     - (cum_tokens - n_tokens) // 512 + 1
+           END AS n_windows
+    FROM c ORDER BY doc_id
+"""
+
+
 def _q79_sql() -> str:
     from thesis_ner_co_tri_training_spark.functions.bpe import (
         bpe_count_from_enc_sql, bpe_oracle_expr)
@@ -2667,6 +2790,9 @@ _QUERY_ORDER = [
     "q37_simhash_md5", "q38_event_quantiles", "q40_corpus_stats",
     "q41_asof_join", "q42_corpus_mix", "q43_funnel", "q44_rollup",
     "q47_pagerank", "q48_cooccurrence_lift", "q49_k_hop",
+    # --- round-5 late additions: appended AFTER the window so the
+    # frozen first-50 snapshot set is undisturbed (local gate covers) ---
+    "q80_pack_sequences", "q81_stratified_sample",
 ]
 
 
@@ -2760,6 +2886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_semantic_dedup": q77_semantic_dedup,
         "q78_kcore": q78_kcore,
         "q79_bpe_budget": q79_bpe_budget,
+        "q80_pack_sequences": q80_pack_sequences,
+        "q81_stratified_sample": q81_stratified_sample,
     })
 
 
@@ -3979,4 +4107,6 @@ def oracle_sql() -> dict[str, str]:
         "q77_semantic_dedup": _Q77_SQL,
         "q78_kcore": _kcore_oracle_sql(12),
         "q79_bpe_budget": _q79_sql(),
+        "q80_pack_sequences": _Q80_SQL,
+        "q81_stratified_sample": _Q81_SQL,
     })

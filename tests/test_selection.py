@@ -276,6 +276,112 @@ def test_fill_token_budget(spark):
     assert all(r["kept"] for r in fill_token_budget(df, budget=10**9).collect())
 
 
+def test_pack_sequences_matches_replay(spark):
+    """pack_sequences == a pure-Python replay of concat-and-chunk over
+    the md5-fate order: exact start offsets and window spans, boundary-
+    crossing docs span >1 window, zero-token docs carry NULL windows,
+    and the packing is partitioning-independent."""
+    import hashlib
+
+    import pytest
+
+    from thesis_ner_co_tri_training_spark.operators.selection import (
+        pack_sequences)
+
+    C = 10
+    rows = [(i, [3, 0, 25, 7, 10, 1][i % 6]) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+
+    def fate(doc_id):
+        return int(hashlib.md5(f"{doc_id}|42".encode())
+                   .hexdigest()[:15], 16)
+
+    want, cum = {}, 0
+    for i, n in sorted(rows, key=lambda t: (fate(t[0]), t[0])):
+        start = cum
+        cum += n
+        if n == 0:
+            want[i] = (n, start, None, None, None)
+        else:
+            want[i] = (n, start, start // C, (cum - 1) // C,
+                       (cum - 1) // C - start // C + 1)
+
+    got = {r["doc_id"]: (r["n_tokens"], r["start_offset"],
+                         r["first_window"], r["last_window"],
+                         r["n_windows"])
+           for r in pack_sequences(df, context_len=C).collect()}
+    assert got == want
+    # the 25-token docs must cross context boundaries
+    assert any(v[4] and v[4] > 1 for v in got.values())
+    # partitioning-independence: same packing from a different layout
+    got7 = {r["doc_id"]: (r["n_tokens"], r["start_offset"],
+                          r["first_window"], r["last_window"],
+                          r["n_windows"])
+            for r in pack_sequences(df.repartition(7),
+                                    context_len=C).collect()}
+    assert got7 == got
+    with pytest.raises(ValueError, match="context_len"):
+        pack_sequences(df, context_len=0)
+
+
+def test_stratified_sample_matches_replay(spark):
+    """stratified_sample == pure-Python replay: Hamilton quotas over
+    stratum sizes (sum == total exactly), per-stratum md5-fate ranking,
+    kept == (rank <= quota); kept counts hit quotas EXACTLY (never a
+    Bernoulli expectation), quotas never exceed stratum sizes for
+    total <= corpus, and the draw is partitioning-independent."""
+    import hashlib
+
+    from thesis_ner_co_tri_training_spark.operators.selection import (
+        stratified_sample)
+
+    sizes = {"a": 17, "b": 5, "c": 38, "d": 1}
+    rows, i = [], 0
+    for s, n in sorted(sizes.items()):
+        for _ in range(n):
+            rows.append((i, s))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    total = 23
+
+    # replay: Hamilton over sizes, ties by stratum key
+    N = sum(sizes.values())
+    base = {s: (total * n) // N for s, n in sizes.items()}
+    rem = {s: (total * sizes[s]) % N for s in sizes}
+    leftover = total - sum(base.values())
+    for s in sorted(sizes, key=lambda s: (-rem[s], s))[:leftover]:
+        base[s] += 1
+    assert sum(base.values()) == total
+
+    def fate(doc_id):
+        return int(hashlib.md5(f"{doc_id}|42".encode())
+                   .hexdigest()[:15], 16)
+
+    want = {}
+    for s in sizes:
+        members = sorted((d for d, st in rows if st == s),
+                         key=lambda d: (fate(d), d))
+        for rk, d in enumerate(members, 1):
+            want[d] = (s, rk, base[s], rk <= base[s])
+
+    got = {r["doc_id"]: (r["source"], r["rank_in_stratum"], r["alloc"],
+                         r["kept"])
+           for r in stratified_sample(df, total).collect()}
+    assert got == want
+    # kept counts are exact per stratum and quotas fit the strata
+    for s, n in sizes.items():
+        kept_n = sum(1 for v in got.values() if v[0] == s and v[3])
+        assert kept_n == base[s] <= n
+    # partitioning-independence
+    got9 = {r["doc_id"]: (r["source"], r["rank_in_stratum"], r["alloc"],
+                          r["kept"])
+            for r in stratified_sample(df.repartition(9), total).collect()}
+    assert got9 == got
+    # total >= corpus keeps everything
+    assert all(r["kept"]
+               for r in stratified_sample(df, N).collect())
+
+
 def test_apportion_budget_exact_and_proportional(spark):
     """Hamilton apportionment: sum(alloc) == budget exactly for awkward
     budgets, allocations track proportions within 1 unit (the Hamilton

@@ -429,6 +429,21 @@ def fill_token_budget(df: DataFrame, budget: int,
     construction: range partitioning makes the partition order the
     global order.
     """
+    return _fate_cumsum(df, tokens_col, key_col, seed,
+                        caller="fill_token_budget").withColumn(
+        "kept",
+        (F.col("cum_tokens") - F.col(tokens_col).cast("long"))
+        < F.lit(int(budget)),
+    )
+
+
+def _fate_cumsum(df: DataFrame, tokens_col: str, key_col: str,
+                 seed: int, caller: str) -> DataFrame:
+    """Shared distributed prefix sum over the md5-fate order (the
+    fill_token_budget recipe, also the packing order of
+    pack_sequences): range-partition by (fate, key), cumsum WITHIN each
+    sorted partition, add per-partition offsets computed from one
+    #partitions-row aggregate. Adds `cum_tokens` (BIGINT, inclusive)."""
     from ..functions.hashutil import md5_long
 
     spark = df.sparkSession
@@ -449,14 +464,14 @@ def fill_token_budget(df: DataFrame, budget: int,
         .collect()
     )
     # NULL token counts would silently ride through the window cumsum
-    # as NULL cum_tokens/kept (and an all-NULL partition makes t=None,
-    # a driver TypeError below) — reject them up front; the check rides
+    # as NULL cum_tokens (and an all-NULL partition makes t=None, a
+    # driver TypeError below) — reject them up front; the check rides
     # the offsets aggregate, zero extra jobs.
     n_null = sum(r["nulls"] for r in totals)
     if n_null:
         raise ValueError(
-            f"fill_token_budget: {n_null} row(s) have NULL {tokens_col}; "
-            f"fill or filter them before assembly")
+            f"{caller}: {n_null} row(s) have NULL {tokens_col}; "
+            f"fill or filter them first")
     offsets, acc = [], 0
     for r in sorted(totals, key=lambda r: r["__pid"]):
         offsets.append((r["__pid"], acc))
@@ -471,12 +486,95 @@ def fill_token_budget(df: DataFrame, budget: int,
             "cum_tokens",
             F.sum(F.col(tokens_col).cast("long")).over(w) + F.col("__off"),
         )
-        .withColumn(
-            "kept",
-            (F.col("cum_tokens") - F.col(tokens_col).cast("long"))
-            < F.lit(int(budget)),
-        )
         .drop("__fate", "__pid", "__off")
+    )
+
+
+def pack_sequences(df: DataFrame, context_len: int,
+                   tokens_col: str = "n_tokens",
+                   key_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """GPT-style sequence packing (concat-and-chunk): shuffle the docs
+    deterministically (md5 fate of (key, seed) — the fill_token_budget
+    order), concatenate their token streams, slice into fixed
+    `context_len` windows, and report where each doc landed:
+
+      start_offset  token offset of the doc's first token (BIGINT)
+      first_window  start_offset DIV context_len
+      last_window   (start_offset + n_tokens - 1) DIV context_len
+      n_windows     last - first + 1 (how many training sequences the
+                    doc spans; >1 means it crosses a boundary)
+
+    This is the packing used by large-scale LM training pipelines:
+    documents are concatenated and split at fixed context boundaries,
+    not padded per-doc. Zero-token docs occupy no window: their three
+    window columns are NULL (they are still emitted so row accounting
+    matches the corpus).
+
+    Scale shape: the same DISTRIBUTED prefix sum as fill_token_budget
+    (range partition by fate, per-partition cumsum + a #partitions-row
+    offset map — never a bare global window); the window arithmetic is
+    pure integer projection. Deterministic across engines, retries and
+    partitionings, so re-running the job packs the SAME sequences.
+    """
+    if context_len <= 0:
+        raise ValueError(f"context_len must be positive, got {context_len}")
+    out = _fate_cumsum(df, tokens_col, key_col, seed,
+                       caller="pack_sequences")
+    n = F.col(tokens_col).cast("long")
+    c = int(context_len)
+    return (
+        out.withColumn("start_offset", F.col("cum_tokens") - n)
+        .withColumn("first_window", F.when(
+            n == 0, F.lit(None).cast("long")
+        ).otherwise(F.expr(f"start_offset DIV {c}")))
+        .withColumn("last_window", F.when(
+            n == 0, F.lit(None).cast("long")
+        ).otherwise(F.expr(f"(cum_tokens - 1) DIV {c}")))
+        .withColumn("n_windows", F.when(
+            n == 0, F.lit(None).cast("long")
+        ).otherwise(F.col("last_window") - F.col("first_window")
+                    + F.lit(1)))
+    )
+
+
+def stratified_sample(df: DataFrame, total: int,
+                      stratum_col: str = "source",
+                      key_col: str = "doc_id",
+                      seed: int = 42) -> DataFrame:
+    """Deterministic stratified sampling with EXACT allocation: size
+    per-stratum quotas proportionally to stratum row counts via
+    largest-remainder apportionment (`apportion_budget` — sum(quota) ==
+    total exactly, never the drifting expectation a per-row Bernoulli
+    sample gives), then keep each stratum's md5-fate-ranked top-quota
+    rows. The fate order makes the drawn sample identical across
+    engines, retries and partitionings (mix_corpus's rationale), and
+    every quantity is BIGINT, so the whole draw is oracle-portable.
+
+    For total <= corpus size, quota_i <= |stratum_i| always (Hamilton
+    with weights = sizes cannot over-allocate a stratum); a total
+    larger than the corpus keeps everything.
+
+    Output: df's (key, stratum) plus (alloc, rank_in_stratum BIGINT,
+    kept boolean). Scale shape: one map-side count agg (#strata rows),
+    apportionment's bounded global ranking over #strata rows, ONE
+    stratum-keyed window over the data (no global window), and a keyed
+    join of the data against the #strata-row quota relation.
+    """
+    from ..functions.hashutil import md5_long
+    from pyspark.sql import Window as W
+
+    weights = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"))
+    allocs = apportion_budget(weights, total, key_col=stratum_col,
+                              weight_col="__n")
+    fate = md5_long(F.col(key_col).cast("string"), F.lit(str(seed)))
+    wr = W.partitionBy(stratum_col).orderBy(fate, F.col(key_col))
+    return (
+        df.select(key_col, stratum_col)
+        .withColumn("rank_in_stratum",
+                    F.row_number().over(wr).cast("long"))
+        .join(allocs, stratum_col)
+        .withColumn("kept", F.col("rank_in_stratum") <= F.col("alloc"))
     )
 
 
