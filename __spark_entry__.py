@@ -1286,6 +1286,79 @@ def q80_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q82_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge LEARNING (textstats.learn_bpe_merges,
+    Sennrich et al. 2016): train an 8-merge table on the documents
+    corpus — one corpus shuffle builds the distinct-word frequency
+    vocabulary, then each round is a pair-count aggregate + argmax +
+    one literal replace over the vocab relation only. Deterministic by
+    the (count DESC, left, right) tie rule with product-collision
+    skipping, so the DuckDB oracle unrolls the identical 8 rounds (the
+    q78 unrolling pattern) and the learned table matches repr-exactly;
+    functions/bpe.learn_merges_py is the pure-Python source of truth
+    both are pinned to in tests."""
+    from thesis_ner_co_tri_training_spark.operators.textstats import (
+        learn_bpe_merges)
+
+    docs = _t(spark, sf_dir, "documents")
+    return learn_bpe_merges(docs, num_merges=8).orderBy("merge_rank")
+
+
+def _q82_sql(n: int = 8) -> str:
+    from thesis_ner_co_tri_training_spark.functions.bpe import (
+        ASCII_LOWER, ASCII_UPPER, SYM_CLOSE, SYM_OPEN, WORD_SEP)
+
+    o, c = SYM_OPEN, SYM_CLOSE
+    parts = [f"""
+    WITH w0 AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+            SELECT unnest(string_split(regexp_replace(
+                translate(coalesce(text, ''),
+                          '{ASCII_UPPER}', '{ASCII_LOWER}'),
+                '[^a-z0-9]+', '{WORD_SEP}', 'g'), '{WORD_SEP}')) AS w
+            FROM documents
+        ) WHERE w <> '' GROUP BY w
+    ),
+    r0 AS MATERIALIZED (
+        SELECT regexp_replace(w, '([a-z0-9])', '{o}\\1{c}', 'g') AS w, f
+        FROM w0
+    )"""]
+    for k in range(1, n + 1):
+        excl = ""
+        if k > 1:
+            prior = " UNION ALL ".join(
+                f"SELECT merged FROM b{j}" for j in range(1, k))
+            excl = f"\n        WHERE l || r NOT IN ({prior})"
+        parts.append(f""",
+    p{k} AS MATERIALIZED (
+        SELECT u.p.l AS l, u.p.r AS r, CAST(sum(f) AS BIGINT) AS cnt
+        FROM (SELECT string_split(substr(w, 2, length(w) - 2),
+                                  '{c}{o}') AS syms, f
+              FROM r{k - 1}) s,
+             unnest(list_transform(
+                 generate_series(1, len(syms) - 1),
+                 i -> struct_pack(l := syms[i], r := syms[i + 1])
+             )) AS u(p)
+        WHERE len(syms) >= 2
+        GROUP BY u.p.l, u.p.r
+    ),
+    b{k} AS MATERIALIZED (
+        SELECT l, r, l || r AS merged, cnt FROM p{k}{excl}
+        ORDER BY cnt DESC, l, r LIMIT 1
+    ),
+    r{k} AS MATERIALIZED (
+        SELECT replace(r.w, '{o}' || b.l || '{c}{o}' || b.r || '{c}',
+                       '{o}' || b.merged || '{c}') AS w, r.f
+        FROM r{k - 1} r, b{k} b
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank, l, r, merged, "
+        f"cnt AS pair_count FROM b{k}"
+        for k in range(1, n + 1))
+    parts.append(f"\n    SELECT * FROM ({union}) ORDER BY merge_rank")
+    return "".join(parts)
+
+
 def q81_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling with exact allocation
     (selection.stratified_sample): per-source quotas sized by
@@ -2792,7 +2865,7 @@ _QUERY_ORDER = [
     "q47_pagerank", "q48_cooccurrence_lift", "q49_k_hop",
     # --- round-5 late additions: appended AFTER the window so the
     # frozen first-50 snapshot set is undisturbed (local gate covers) ---
-    "q80_pack_sequences", "q81_stratified_sample",
+    "q80_pack_sequences", "q81_stratified_sample", "q82_bpe_learn",
 ]
 
 
@@ -2888,6 +2961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_bpe_budget": q79_bpe_budget,
         "q80_pack_sequences": q80_pack_sequences,
         "q81_stratified_sample": q81_stratified_sample,
+        "q82_bpe_learn": q82_bpe_learn,
     })
 
 
@@ -4109,4 +4183,5 @@ def oracle_sql() -> dict[str, str]:
         "q79_bpe_budget": _q79_sql(),
         "q80_pack_sequences": _Q80_SQL,
         "q81_stratified_sample": _Q81_SQL,
+        "q82_bpe_learn": _q82_sql(),
     })

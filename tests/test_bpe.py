@@ -128,3 +128,99 @@ def test_token_counts_rejects_unknown_tokenizer(spark):
     df = spark.createDataFrame([("x",)], "text string")
     with pytest.raises(ValueError, match="tokenizer"):
         token_counts(df, tokenizer="wordpiece")
+
+
+# ------------------------------------------------------------- learning
+
+
+def test_learn_merges_py_spec():
+    """Pin the learner spec on hand cases: adjacency counting includes
+    overlaps ('aaa' contributes (a,a) twice) while merging is
+    non-overlapping LTR; ties break by (count DESC, left, right);
+    product collisions are skipped; min_count stops early."""
+    from thesis_ner_co_tri_training_spark.functions.bpe import (
+        learn_merges_py)
+
+    # overlap counting: freq 1 'aaa' gives (a,a) count 2; after the
+    # merge the vocab word is [aa, a], whose (aa, a) pair counts 1 and
+    # falls below min_count=2
+    got = learn_merges_py({"aaa": 1}, num_merges=3, min_count=2)
+    assert got == [("a", "a", 2)]
+    # with min_count=1 the next round merges (aa, a) -> one 'aaa' symbol
+    got = learn_merges_py({"aaa": 1}, num_merges=3, min_count=1)
+    assert got == [("a", "a", 2), ("aa", "a", 1)]
+    # tie rule: 'ab' and 'cd' both count 2 -> (a,b) wins by left asc
+    got = learn_merges_py({"ab": 2, "cd": 2}, num_merges=1)
+    assert got == [("a", "b", 2)]
+    # product collision: learning from 'abc' words where ('a','bc') was
+    # learned first means a later ('ab','c') -> 'abc' is skipped
+    wf = {"bc": 9, "abc": 5, "ab": 3, "xabcx": 2}
+    merges = learn_merges_py(wf, num_merges=6, min_count=1)
+    products = [x + y for x, y, _ in merges]
+    assert len(products) == len(set(products))
+
+
+def test_learn_merges_py_well_ordered_and_encodable():
+    """The learned list always passes validate_merges, and encoding
+    with it (the sweep chain == textbook loop contract) reproduces the
+    learner's final vocabulary segmentation."""
+    from thesis_ner_co_tri_training_spark.functions.bpe import (
+        bpe_encode, learn_merges_py, validate_merges)
+
+    wf = {"the": 50, "then": 20, "them": 10, "in": 40, "inn": 5,
+          "and": 30, "android": 3, "a1b2": 7, "zzz": 4}
+    learned = learn_merges_py(wf, num_merges=10, min_count=1)
+    pairs = [(x, y) for x, y, _ in learned]
+    assert validate_merges(pairs) == pairs
+    # encoding any training word with the learned table terminates and
+    # only produces symbols that are chars or learned products
+    products = {x + y for x, y in pairs}
+    for w in wf:
+        for sym in bpe_encode(w, pairs):
+            assert len(sym) == 1 or sym in products
+
+
+def test_learn_bpe_merges_distributed_matches_replay(spark):
+    """The distributed learner (one vocab shuffle + per-round agg/
+    argmax/replace) == learn_merges_py on the same corpus, including
+    pre-tokenization (ASCII fold, [a-z0-9] runs)."""
+    import re
+
+    from thesis_ner_co_tri_training_spark.functions.bpe import (
+        _FOLD, learn_merges_py)
+    from thesis_ner_co_tri_training_spark.operators.textstats import (
+        learn_bpe_merges)
+
+    texts = ["The theme of the thesis", "and another anthem, then",
+             "aaa the and in in in", "Testing THE-theme: 123 123 the",
+             None, "", "ALL-CAPS AAA aaa 9999"]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [(r["merge_rank"], r["l"], r["r"], r["merged"],
+            r["pair_count"])
+           for r in learn_bpe_merges(docs, num_merges=6)
+           .orderBy("merge_rank").collect()]
+
+    wf = {}
+    for t in texts:
+        for w in re.split(r"[^a-z0-9]+", (t or "").translate(_FOLD)):
+            if w:
+                wf[w] = wf.get(w, 0) + 1
+    want = [(i + 1, x, y, x + y, c)
+            for i, (x, y, c) in enumerate(learn_merges_py(wf, 6))]
+    assert got == want
+    assert len(got) == 6
+
+
+def test_learn_bpe_merges_early_stop_and_empty(spark):
+    from thesis_ner_co_tri_training_spark.operators.textstats import (
+        learn_bpe_merges)
+
+    # singleton chars only -> no pairs -> empty merge table
+    docs = spark.createDataFrame([("a b c d",)], "text string")
+    assert learn_bpe_merges(docs, num_merges=4).count() == 0
+    # min_count stops the loop before num_merges
+    docs = spark.createDataFrame([("aaa",)], "text string")
+    got = [(r["l"], r["r"], r["pair_count"])
+           for r in learn_bpe_merges(docs, num_merges=4, min_count=2)
+           .orderBy("merge_rank").collect()]
+    assert got == [("a", "a", 2)]

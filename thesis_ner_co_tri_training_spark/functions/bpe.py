@@ -139,6 +139,63 @@ def bpe_token_count(text: str | None,
     return total
 
 
+def learn_merges_py(word_freqs: dict[str, int], num_merges: int,
+                    min_count: int = 2
+                    ) -> list[tuple[str, str, int]]:
+    """Pure-Python reference BPE merge LEARNER (Sennrich et al. 2016
+    get_stats/merge loop, made deterministic) — the source of truth the
+    distributed learner and its DuckDB oracle are pinned to.
+
+    Per round: count adjacent symbol pairs over the current vocabulary
+    (each adjacency position counts, weighted by word frequency — the
+    subword-nmt stats, so [a,a,a] contributes (a,a) twice); pick the
+    max by (count DESC, left ASC, right ASC); skip candidates whose
+    concatenated product collides with an earlier product (keeps the
+    learned list `validate_merges`-well-ordered — products stay
+    distinct, and every side is an alphabet char or an earlier product
+    by construction); merge all non-overlapping left-to-right
+    occurrences in
+    every word. Stop early when the best count falls below `min_count`.
+    Returns [(left, right, count)] in learned order.
+    """
+    vocab = {tuple(w): int(f) for w, f in word_freqs.items() if w}
+    out: list[tuple[str, str, int]] = []
+    products: set[str] = set()
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        best = None
+        for (x, y), c in counts.items():
+            if x + y in products:
+                continue
+            k = (-c, x, y)
+            if best is None or k < best[0]:
+                best = (k, x, y, c)
+        if best is None or best[3] < min_count:
+            break
+        _, x, y, c = best
+        out.append((x, y, c))
+        products.add(x + y)
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, f in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == x
+                        and syms[i + 1] == y):
+                    merged.append(x + y)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            t = tuple(merged)
+            new_vocab[t] = new_vocab.get(t, 0) + f
+        vocab = new_vocab
+    return out
+
+
 def _wrapped_merge_chain(merges: list[tuple[str, str]]):
     """(search, replacement) literal pairs for the wrapped representation."""
     return [(SYM_OPEN + x + SYM_CLOSE + SYM_OPEN + y + SYM_CLOSE,

@@ -82,6 +82,91 @@ def token_counts(df: DataFrame, text_col: str = "text",
     return out
 
 
+def learn_bpe_merges(docs: DataFrame, num_merges: int = 8,
+                     text_col: str = "text",
+                     min_count: int = 2) -> DataFrame:
+    """Distributed BPE merge LEARNING (Sennrich et al. 2016) — train
+    the tokenizer's merge table on the corpus itself, the companion to
+    the fixed-table encoder in functions/bpe.py (q79 counts tokens
+    under a PINNED table; this learns one).
+
+    Deterministic spec (functions/bpe.learn_merges_py is the pure-
+    Python source of truth; engine, oracle and replay are pinned to
+    it): pre-tokenize exactly like the encoder (ASCII fold, maximal
+    [a-z0-9] runs); count adjacent symbol pairs over the distinct-word
+    vocabulary weighted by corpus word frequency (every adjacency
+    position counts — subword-nmt's get_stats); per round take the max
+    by (count DESC, left ASC, right ASC), skipping candidates whose
+    product string collides with an earlier product (keeps the learned
+    list validate_merges-well-ordered, so the sweep encoder applies it
+    correctly); merge non-overlapping left-to-right (one literal
+    replace on the wrapped representation); stop early below
+    `min_count`. Output: (merge_rank, l, r, merged, pair_count) —
+    strings and BIGINTs only.
+
+    Scale shape at 100 TB: ONE corpus-wide shuffle builds the
+    distinct-word frequency vocabulary (bounded by vocabulary growth —
+    Heaps' law, ~10^7-10^8 rows for web corpora — orders of magnitude
+    under corpus size); every learning round then runs on that vocab
+    relation only: one map-side-combinable pair-count aggregate + a
+    1-row argmax collect (scalar-bounded, the graph-fixpoint probe
+    pattern) + one narrow literal-replace map, localCheckpointed per
+    round to truncate the replace-chain lineage. num_merges rounds
+    never rescan the corpus.
+    """
+    from ..functions.bpe import (ASCII_LOWER, ASCII_UPPER, SYM_CLOSE,
+                                 SYM_OPEN, validate_merges)
+
+    spark = docs.sparkSession
+    folded = F.translate(F.coalesce(F.col(text_col), F.lit("")),
+                         ASCII_UPPER, ASCII_LOWER)
+    words = (
+        docs.select(F.explode(F.split(folded, "[^a-z0-9]+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .withColumn("w", F.regexp_replace(
+            "word", "([a-z0-9])", SYM_OPEN + "$1" + SYM_CLOSE))
+        .select("w", "f")
+        .localCheckpoint(eager=True)
+    )
+    learned: list[tuple[int, str, str, str, int]] = []
+    products: set[str] = set()
+    for rank in range(1, num_merges + 1):
+        syms = F.split(F.expr("substring(w, 2, length(w) - 2)"),
+                       SYM_CLOSE + SYM_OPEN)
+        pairs = (
+            words.select(syms.alias("syms"), "f")
+            .filter(F.size("syms") >= 2)
+            .select(F.explode(F.expr(
+                "transform(sequence(1, size(syms) - 1), "
+                "i -> struct(syms[i - 1] AS l, syms[i] AS r))"
+            )).alias("p"), "f")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("f").alias("cnt"))
+        )
+        if products:
+            pairs = pairs.filter(
+                ~F.concat("l", "r").isin(sorted(products)))
+        best = pairs.orderBy(F.col("cnt").desc(), "l", "r").limit(1).collect()
+        if not best or int(best[0]["cnt"]) < min_count:
+            break
+        left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        learned.append((rank, left, right, left + right, cnt))
+        products.add(left + right)
+        words = words.withColumn("w", F.replace(
+            "w",
+            F.lit(SYM_OPEN + left + SYM_CLOSE + SYM_OPEN + right + SYM_CLOSE),
+            F.lit(SYM_OPEN + left + right + SYM_CLOSE),
+        )).localCheckpoint(eager=True)
+    # internal sanity: the construction guarantees well-ordering, so
+    # the learned table is directly usable by the sweep encoder
+    validate_merges([(le, r) for _, le, r, _, _ in learned])
+    return spark.createDataFrame(
+        learned,
+        "merge_rank long, l string, r string, merged string, "
+        "pair_count long")
+
+
 def stopword_ratios(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One ratio column per language: fraction of tokens in that
     language's stopword list (round 4)."""
