@@ -224,3 +224,27 @@ def test_learn_bpe_merges_early_stop_and_empty(spark):
            for r in learn_bpe_merges(docs, num_merges=4, min_count=2)
            .orderBy("merge_rank").collect()]
     assert got == [("a", "a", 2)]
+
+
+def test_learned_merges_feed_the_spark_encoder(spark):
+    """End-to-end: merges LEARNED distributedly drive the JVM-side
+    replace-chain encoder (custom merges path of bpe_count_col) and
+    match the pure-Python twin under the same learned table."""
+    from pyspark.sql import functions as F
+
+    from thesis_ner_co_tri_training_spark.functions.bpe import (
+        bpe_count_col, bpe_token_count)
+    from thesis_ner_co_tri_training_spark.operators.textstats import (
+        learn_bpe_merges)
+
+    texts = ["the theme then", "in the inn", "and android antics",
+             "a1b2 a1b2 zzz the"]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    learned = [(r["l"], r["r"])
+               for r in learn_bpe_merges(docs, num_merges=5, min_count=1)
+               .orderBy("merge_rank").collect()]
+    assert learned
+    got = [r["n"] for r in docs.select(
+        bpe_count_col("text", merges=learned).alias("n")).collect()]
+    want = [bpe_token_count(t, learned) for t in texts]
+    assert got == want
