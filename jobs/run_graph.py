@@ -7,11 +7,12 @@ Usage (after jobs/run_pipeline.py has built <warehouse>/nodes + edges):
 
 Runs over the edges table: per-entity degree stats, PageRank (dangling-
 aware), a bounded k-hop neighborhood from the highest-out-degree entity
-(ties broken lexicographically, same scalar rule as q35), and directed
-strongly connected components (mutual-reference clusters). Writes the
-four result tables back into the warehouse under graph_* (same catalog
-layout + lineage snapshots as the pipeline stages) and prints a
-one-line JSON summary.
+(ties broken lexicographically, same scalar rule as q35), directed
+strongly connected components (mutual-reference clusters), and k-core
+decomposition (coreness — densely inter-linked entity tiers, the
+standard KG pruning signal). Writes the five result tables back into
+the warehouse under graph_* (same catalog layout + lineage snapshots
+as the pipeline stages) and prints a one-line JSON summary.
 
 This is the "graph is queryable, not just materialized" surface: every
 analytic runs as keyed joins/aggregations over the edge table the
@@ -43,7 +44,8 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from thesis_ner_co_tri_training_spark.plans.graph import (
-        degree_stats, k_hop, pagerank, strongly_connected_components)
+        degree_stats, k_hop, kcore, pagerank,
+        strongly_connected_components)
     from thesis_ner_co_tri_training_spark.session import get_spark
     from thesis_ner_co_tri_training_spark.sources import catalog
 
@@ -96,6 +98,16 @@ def main() -> int:
         F.max("count").alias("largest"),
     ).collect()[0]
 
+    # k-core coreness over the undirected simple projection: the dense
+    # tiers worth keeping when pruning a noisy crawl-derived KG.
+    kc = kcore(e).localCheckpoint(eager=True)
+    catalog.write_table(kc, args.warehouse, "graph_kcore",
+                        stage_params={"source": "edges"})
+    kc_stats = kc.agg(
+        F.max("core").alias("max_core"),
+        F.sum((F.col("core") >= 2).cast("long")).alias("core2_nodes"),
+    ).collect()[0]
+
     elapsed = time.time() - t0
     top = pr.orderBy(F.col("rank").desc(), "node").limit(3).collect()
     print(json.dumps({
@@ -108,6 +120,8 @@ def main() -> int:
         "scc_components": scc_stats["n"],
         "scc_nontrivial": int(scc_stats["nontrivial"] or 0),
         "scc_largest": int(scc_stats["largest"] or 0),
+        "kcore_max": int(kc_stats["max_core"] or 0),
+        "kcore_2plus_nodes": int(kc_stats["core2_nodes"] or 0),
         "top_pagerank": [[r["node"], round(r["rank"], 6)] for r in top],
     }))
     spark.stop()
