@@ -1304,7 +1304,7 @@ def q82_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return learn_bpe_merges(docs, num_merges=8).orderBy("merge_rank")
 
 
-def _q82_sql(n: int = 8) -> str:
+def _q82_sql(n: int = 8, min_count: int = 2) -> str:
     from thesis_ner_co_tri_training_spark.functions.bpe import (
         ASCII_LOWER, ASCII_UPPER, SYM_CLOSE, SYM_OPEN, WORD_SEP)
 
@@ -1324,11 +1324,15 @@ def _q82_sql(n: int = 8) -> str:
         FROM w0
     )"""]
     for k in range(1, n + 1):
-        excl = ""
+        # the engine's min_count early stop: a below-threshold best
+        # yields an empty b{k}, which empties r{k} and every later
+        # round — exactly "stop learning here" on both engines
+        conds = [f"cnt >= {min_count}"]
         if k > 1:
             prior = " UNION ALL ".join(
                 f"SELECT merged FROM b{j}" for j in range(1, k))
-            excl = f"\n        WHERE l || r NOT IN ({prior})"
+            conds.append(f"l || r NOT IN ({prior})")
+        excl = "\n        WHERE " + " AND ".join(conds)
         parts.append(f""",
     p{k} AS MATERIALIZED (
         SELECT u.p.l AS l, u.p.r AS r, CAST(sum(f) AS BIGINT) AS cnt

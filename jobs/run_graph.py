@@ -37,6 +37,9 @@ def main() -> int:
                     help="SCC peeling-round cap (condensation depth)")
     ap.add_argument("--scc-max-inner", type=int, default=256,
                     help="SCC coloring/sweep iteration cap (~diameter)")
+    ap.add_argument("--kcore-max-rounds", type=int, default=100,
+                    help="k-core h-index fixpoint round cap "
+                         "(~degeneracy-ordering depth)")
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
@@ -100,7 +103,8 @@ def main() -> int:
 
     # k-core coreness over the undirected simple projection: the dense
     # tiers worth keeping when pruning a noisy crawl-derived KG.
-    kc = kcore(e).localCheckpoint(eager=True)
+    kc = kcore(e, max_rounds=args.kcore_max_rounds).localCheckpoint(
+        eager=True)
     catalog.write_table(kc, args.warehouse, "graph_kcore",
                         stage_params={"source": "edges"})
     kc_stats = kc.agg(

@@ -248,3 +248,28 @@ def test_learned_merges_feed_the_spark_encoder(spark):
         bpe_count_col("text", merges=learned).alias("n")).collect()]
     want = [bpe_token_count(t, learned) for t in texts]
     assert got == want
+
+
+def test_q82_oracle_early_stop_parity(spark):
+    """The q82 DuckDB oracle must stop learning exactly where the
+    engine's min_count=2 stop does: its b{k} CTE carries cnt >= 2, and
+    an empty b{k} empties every later round — pinned on a corpus where
+    the stop triggers at round 3 of 8."""
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from thesis_ner_co_tri_training_spark.operators.textstats import (
+        learn_bpe_merges)
+
+    texts = ["the aa", "the zz qq", "xy"]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [(r["merge_rank"], r["l"], r["r"], r["merged"], r["pair_count"])
+           for r in learn_bpe_merges(docs, num_merges=8)
+           .orderBy("merge_rank").collect()]
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"text": texts}))
+    want = [tuple(row) for row in
+            con.execute(entry.oracle_sql()["q82_bpe_learn"]).fetchall()]
+    assert got == want
+    assert len(got) == 2          # stopped well before num_merges

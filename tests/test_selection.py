@@ -276,12 +276,20 @@ def test_fill_token_budget(spark):
     assert all(r["kept"] for r in fill_token_budget(df, budget=10**9).collect())
 
 
+def _md5_fate(key, seed=42):
+    """The engine's md5_long(key, seed) fate, replayed: first 15 hex
+    chars of md5(f"{key}|{seed}") as an int — the '|'-joined recipe is
+    part of the cross-engine contract (q42/q57/q80/q81 oracles)."""
+    import hashlib
+
+    return int(hashlib.md5(f"{key}|{seed}".encode()).hexdigest()[:15], 16)
+
+
 def test_pack_sequences_matches_replay(spark):
     """pack_sequences == a pure-Python replay of concat-and-chunk over
     the md5-fate order: exact start offsets and window spans, boundary-
     crossing docs span >1 window, zero-token docs carry NULL windows,
     and the packing is partitioning-independent."""
-    import hashlib
 
     import pytest
 
@@ -292,12 +300,8 @@ def test_pack_sequences_matches_replay(spark):
     rows = [(i, [3, 0, 25, 7, 10, 1][i % 6]) for i in range(30)]
     df = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
 
-    def fate(doc_id):
-        return int(hashlib.md5(f"{doc_id}|42".encode())
-                   .hexdigest()[:15], 16)
-
     want, cum = {}, 0
-    for i, n in sorted(rows, key=lambda t: (fate(t[0]), t[0])):
+    for i, n in sorted(rows, key=lambda t: (_md5_fate(t[0]), t[0])):
         start = cum
         cum += n
         if n == 0:
@@ -330,7 +334,6 @@ def test_stratified_sample_matches_replay(spark):
     kept == (rank <= quota); kept counts hit quotas EXACTLY (never a
     Bernoulli expectation), quotas never exceed stratum sizes for
     total <= corpus, and the draw is partitioning-independent."""
-    import hashlib
 
     from thesis_ner_co_tri_training_spark.operators.selection import (
         stratified_sample)
@@ -353,14 +356,10 @@ def test_stratified_sample_matches_replay(spark):
         base[s] += 1
     assert sum(base.values()) == total
 
-    def fate(doc_id):
-        return int(hashlib.md5(f"{doc_id}|42".encode())
-                   .hexdigest()[:15], 16)
-
     want = {}
     for s in sizes:
         members = sorted((d for d, st in rows if st == s),
-                         key=lambda d: (fate(d), d))
+                         key=lambda d: (_md5_fate(d), d))
         for rk, d in enumerate(members, 1):
             want[d] = (s, rk, base[s], rk <= base[s])
 
@@ -443,3 +442,28 @@ def test_fill_token_budget_rejects_null_token_counts(spark):
         "doc_id string, n_tokens int")
     with pytest.raises(ValueError, match="NULL n_tokens"):
         fill_token_budget(df, budget=12).collect()
+
+
+def test_stratified_sample_null_stratum_and_null_key(spark):
+    """A NULL stratum is a stratum of its own: it receives quota and its
+    rows survive the (null-safe) quota join, so sum(kept) == total even
+    with NULL sources. NULL keys are rejected up front (they would
+    share one md5 fate with a NULL tiebreaker — nondeterministic)."""
+    import pytest
+
+    from thesis_ner_co_tri_training_spark.operators.selection import (
+        stratified_sample)
+
+    rows = ([(i, "a") for i in range(50)]
+            + [(i, None) for i in range(50, 100)])
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = stratified_sample(df, 10).collect()
+    assert len(out) == 100                      # no rows dropped
+    assert sum(1 for r in out if r["kept"]) == 10   # exact total
+    null_kept = sum(1 for r in out if r["kept"] and r["source"] is None)
+    assert null_kept == 5                       # NULL stratum got its quota
+    with pytest.raises(ValueError, match="NULL doc_id"):
+        stratified_sample(
+            spark.createDataFrame([(None, "a"), (1, "a")],
+                                  "doc_id bigint, source string"),
+            1).collect()

@@ -552,28 +552,44 @@ def stratified_sample(df: DataFrame, total: int,
 
     For total <= corpus size, quota_i <= |stratum_i| always (Hamilton
     with weights = sizes cannot over-allocate a stratum); a total
-    larger than the corpus keeps everything.
+    larger than the corpus keeps everything. A NULL stratum is a
+    stratum of its own (null-safe quota join — a plain equi-join would
+    silently drop its rows AFTER quota was allocated to them, making
+    sum(kept) < total). NULL keys are rejected up front: several
+    NULL-key rows in one stratum would share one md5 fate with a NULL
+    tiebreaker, and which of them is kept would then move with
+    partition layout — the exact failure the fate order exists to
+    prevent (md5_long's concat_ws skips NULLs; mix_corpus gates the
+    same way).
 
     Output: df's (key, stratum) plus (alloc, rank_in_stratum BIGINT,
     kept boolean). Scale shape: one map-side count agg (#strata rows),
     apportionment's bounded global ranking over #strata rows, ONE
-    stratum-keyed window over the data (no global window), and a keyed
-    join of the data against the #strata-row quota relation.
+    stratum-keyed window over the data (no global window), a keyed
+    join of the data against the #strata-row quota relation, and one
+    limit-1 NULL-key existence probe (driver-action audit table).
     """
     from ..functions.hashutil import md5_long
     from pyspark.sql import Window as W
 
+    if not df.filter(F.col(key_col).isNull()).isEmpty():
+        raise ValueError(
+            f"stratified_sample: NULL {key_col} rows break the "
+            f"deterministic fate order; fill or filter them first")
     weights = df.groupBy(stratum_col).agg(
         F.count(F.lit(1)).cast("long").alias("__n"))
     allocs = apportion_budget(weights, total, key_col=stratum_col,
-                              weight_col="__n")
+                              weight_col="__n").withColumnRenamed(
+        stratum_col, "__stratum")
     fate = md5_long(F.col(key_col).cast("string"), F.lit(str(seed)))
     wr = W.partitionBy(stratum_col).orderBy(fate, F.col(key_col))
     return (
         df.select(key_col, stratum_col)
         .withColumn("rank_in_stratum",
                     F.row_number().over(wr).cast("long"))
-        .join(allocs, stratum_col)
+        .join(allocs,
+              F.col(stratum_col).eqNullSafe(F.col("__stratum")))
+        .drop("__stratum")
         .withColumn("kept", F.col("rank_in_stratum") <= F.col("alloc"))
     )
 
